@@ -1,0 +1,143 @@
+"""Data pipeline: time features, preprocessing, windowing, caching."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from weatherforecast_stgcn_maml_tpu.config import NUM_WEATHER_VARS
+from weatherforecast_stgcn_maml_tpu.data.preprocess import (
+    NormStats,
+    compute_stats,
+    fill_nans_with_mean,
+    nan_percentages,
+    pad_nodes,
+    prepare_features,
+)
+from weatherforecast_stgcn_maml_tpu.data.region import RegionData, to_0360
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region
+from weatherforecast_stgcn_maml_tpu.data.timefeat import time_features
+from weatherforecast_stgcn_maml_tpu.data.windows import (
+    WindowSpec,
+    contiguous_split,
+    gather_batch,
+)
+
+
+def test_to_0360():
+    assert to_0360(-5.5) == 354.5
+    assert to_0360(10.0) == 10.0
+    assert to_0360(0.0) == 0.0
+
+
+def test_time_features_values():
+    times = np.array(
+        ["2020-01-01T00:00", "2020-01-01T06:00", "2020-07-02T12:30"],
+        dtype="datetime64[ns]",
+    )
+    tf = time_features(times)
+    assert tf.shape == (3, 4)
+    # Jan 1, midnight: day_progress = 0 -> sin 0, cos 1.
+    np.testing.assert_allclose(tf[0, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(tf[0, 3], 1.0, atol=1e-6)
+    # 06:00 -> quarter day -> sin(pi/2)=1.
+    np.testing.assert_allclose(tf[1, 2], 1.0, atol=1e-6)
+    # Day-of-year of Jul 2 in a leap year = 184.
+    expected = np.sin(2 * np.pi * 184 / 365.25)
+    np.testing.assert_allclose(tf[2, 0], expected, atol=1e-5)
+    # 12:30 -> day progress just past half: sin slightly negative.
+    assert tf[2, 2] < 0
+
+
+def test_nan_fill_and_percentages():
+    x = np.ones((4, 2, 2, NUM_WEATHER_VARS), dtype=np.float32)
+    x[0, 0, 0, 0] = np.nan
+    x[..., 1] = np.nan  # whole variable NaN
+    pct = nan_percentages(x)
+    assert pct[1] == 1.0
+    assert 0 < pct[0] < 1
+    filled = fill_nans_with_mean(x)
+    assert not np.isnan(filled).any()
+    assert filled[0, 0, 0, 0] == 1.0  # nanmean of remaining ones
+    assert np.all(filled[..., 1] == 0.0)  # all-NaN variable -> 0
+
+
+def test_prepare_features_normalization_roundtrip(tiny_region):
+    feats, stats = prepare_features(tiny_region)
+    t, n, c = feats.shape
+    assert (t, n, c) == (64, tiny_region.num_nodes, 16)
+    # z-scored weather block: ~0 mean, ~1 std.
+    np.testing.assert_allclose(feats[..., :12].mean(axis=(0, 1)), 0.0, atol=1e-3)
+    np.testing.assert_allclose(feats[..., :12].std(axis=(0, 1)), 1.0, atol=1e-2)
+    # Reusing stats reproduces identical features.
+    feats2, stats2 = prepare_features(tiny_region, stats=stats)
+    np.testing.assert_array_equal(feats, feats2)
+    assert stats2 is stats
+    # Denormalize inverts.
+    raw = tiny_region.weather.reshape(t, n, 12)
+    np.testing.assert_allclose(
+        stats.denormalize(feats[..., :12]), raw, rtol=1e-4, atol=1e-2
+    )
+
+
+def test_stats_dict_roundtrip(tiny_region):
+    _, stats = prepare_features(tiny_region)
+    stats2 = NormStats.from_dict(stats.to_dict())
+    np.testing.assert_allclose(stats.mean, stats2.mean)
+    np.testing.assert_allclose(stats.std, stats2.std)
+
+
+def test_pad_nodes():
+    f = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    p = pad_nodes(f, 5)
+    assert p.shape == (2, 5, 4)
+    np.testing.assert_array_equal(p[:, :3], f)
+    assert np.all(p[:, 3:] == 0)
+
+
+def test_window_spec_counts():
+    spec = WindowSpec(window=24, horizon=8)
+    assert spec.num_samples(100) == 68
+    anchors = spec.valid_anchors(100)
+    assert anchors[0] == 24 and anchors[-1] == 91
+    assert spec.num_samples(30) == 0
+
+
+def test_gather_batch_matches_numpy(tiny_region):
+    feats, _ = prepare_features(tiny_region)
+    spec = WindowSpec(window=6, horizon=3)
+    anchors = np.array([6, 10, 54])
+    x, y = gather_batch(jnp.asarray(feats), jnp.asarray(anchors), spec)
+    assert x.shape == (3, 6, feats.shape[1], 16)
+    assert y.shape == (3, 3, feats.shape[1], 12)
+    for i, a in enumerate(anchors):
+        np.testing.assert_allclose(x[i], feats[a - 6 : a], rtol=1e-6)
+        np.testing.assert_allclose(y[i], feats[a + 1 : a + 4, :, :12], rtol=1e-6)
+
+
+def test_contiguous_split():
+    tr, va = contiguous_split(100, 0.8, max_samples=50)
+    assert list(tr) == list(range(40))
+    assert list(va) == list(range(40, 50))
+
+
+def test_region_npz_roundtrip(tmp_path, tiny_region):
+    path = str(tmp_path / "r.npz")
+    tiny_region.save_npz(path)
+    back = RegionData.load_npz(path)
+    np.testing.assert_array_equal(back.weather, tiny_region.weather.astype(np.float32))
+    np.testing.assert_array_equal(back.times, tiny_region.times)
+    assert back.koppen_code == tiny_region.koppen_code
+    assert back.name == tiny_region.name
+
+
+def test_synthetic_determinism():
+    a = synthetic_region(num_timesteps=16, seed=7)
+    b = synthetic_region(num_timesteps=16, seed=7)
+    np.testing.assert_array_equal(a.weather, b.weather)
+    c = synthetic_region(num_timesteps=16, seed=8)
+    assert not np.array_equal(a.weather, c.weather)
+
+
+def test_synthetic_nan_injection():
+    r = synthetic_region(num_timesteps=16, seed=1, nan_fraction=0.1)
+    frac = np.isnan(r.weather).mean()
+    assert 0.05 < frac < 0.15

@@ -1,0 +1,139 @@
+"""Spatial graph construction as a dense normalized adjacency.
+
+The reference builds a directed kNN edge list for PyTorch-Geometric's sparse
+scatter/gather GCNConv (graphBuilder.py:9-47). On TPU the graphs are tiny
+(~441 nodes for a 5-degree box at 0.25 degrees) and static per region, so the
+idiomatic design is a precomputed **dense** GCN-normalized adjacency matrix:
+graph convolution then is a single MXU matmul that XLA can fuse with the
+feature transform (and that we can hand-fuse in Pallas, see ops/fused_gcn.py).
+
+Node counts are padded to a lane-aligned size so every region shares one
+compiled program shape under vmap/pjit; padding nodes are isolated (zero
+adjacency rows/columns) and masked out of losses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+LANE = 128  # TPU lane width; last-dim tile size for fp32/bf16
+
+
+def round_up(x: int, multiple: int = LANE) -> int:
+    return -(-x // multiple) * multiple
+
+
+def grid_node_positions(lats: np.ndarray, lons: np.ndarray) -> np.ndarray:
+    """Node positions [N, 2] = (lat, lon) in row-major (lat-outer) order.
+
+    Matches the reference flattening order (graphBuilder.py:27-30:
+    meshgrid(indexing='ij') then ravel), which in turn matches the
+    [T, lat, lon, C] -> [T, N, C] reshape in the feature pipeline
+    (featurePreprocessor.py:122).
+    """
+    lat_g, lon_g = np.meshgrid(np.asarray(lats), np.asarray(lons), indexing="ij")
+    return np.stack([lat_g.ravel(), lon_g.ravel()], axis=-1)
+
+
+def knn_edges(positions: np.ndarray, k: int = 4) -> np.ndarray:
+    """Directed kNN edge list [E, 2] of (src, dst) pairs, self excluded.
+
+    Each node receives messages from its k nearest neighbors in Euclidean
+    (lat, lon) degree space — the same neighborhood structure the reference
+    derives from cKDTree (graphBuilder.py:33-44), computed here with a fully
+    vectorized argpartition (no per-node Python loop).
+    """
+    pos = np.asarray(positions, dtype=np.float64)
+    n = pos.shape[0]
+    if k >= n:
+        raise ValueError(f"k_neighbors={k} must be < num_nodes={n}")
+    # Pairwise squared distances; N is small (hundreds) so O(N^2) is fine.
+    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    # k smallest per row, then sort those k by distance for determinism.
+    nbr = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+    order = np.argsort(np.take_along_axis(d2, nbr, axis=1), axis=1, kind="stable")
+    nbr = np.take_along_axis(nbr, order, axis=1)
+    dst = np.repeat(np.arange(n), k)
+    src = nbr.reshape(-1)
+    return np.stack([src, dst], axis=-1)
+
+
+def normalized_adjacency(
+    edges: np.ndarray,
+    num_nodes: int,
+    *,
+    pad_to: int | None = None,
+    add_self_loops: bool = True,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Dense GCN-normalized adjacency `A_hat = D^-1/2 (A + I) D^-1/2`.
+
+    `A[dst, src] = 1` for each directed edge so that `A_hat @ H` aggregates
+    neighbor features into each destination row — the dense equivalent of
+    the sparse normalized message passing the reference gets from PyG's
+    GCNConv (model.py:23-26). Degrees are computed on A + I.
+
+    When `pad_to > num_nodes`, rows/columns beyond `num_nodes` are exactly
+    zero: padding nodes neither send nor receive messages (and, having no
+    self loop, stay identically zero through ReLU layers).
+    """
+    n = num_nodes
+    size = pad_to if pad_to is not None else n
+    if size < n:
+        raise ValueError(f"pad_to={size} < num_nodes={n}")
+    a = np.zeros((size, size), dtype=np.float64)
+    if len(edges):
+        e = np.asarray(edges)
+        a[e[:, 1], e[:, 0]] = 1.0
+    if add_self_loops:
+        a[np.arange(n), np.arange(n)] = a[np.arange(n), np.arange(n)] + 1.0
+    deg = a.sum(axis=1)
+    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    a_hat = inv_sqrt[:, None] * a * inv_sqrt[None, :]
+    return a_hat.astype(dtype)
+
+
+@dataclass(frozen=True)
+class RegionGraph:
+    """Static per-region graph artifacts.
+
+    Attributes:
+      a_hat: [Np, Np] dense normalized adjacency (padded).
+      node_mask: [Np] float32, 1.0 for real nodes, 0.0 for padding.
+      num_nodes: number of real nodes N.
+      positions: [N, 2] (lat, lon) of real nodes.
+    """
+
+    a_hat: np.ndarray
+    node_mask: np.ndarray
+    num_nodes: int
+    positions: np.ndarray
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.a_hat.shape[0]
+
+
+def build_region_graph(
+    lats: np.ndarray,
+    lons: np.ndarray,
+    *,
+    k_neighbors: int = 4,
+    pad_to: int | None = None,
+) -> RegionGraph:
+    """Build the padded dense-adjacency graph for a lat/lon grid region.
+
+    `pad_to=None` pads N up to the next multiple of 128 (TPU lane width) so
+    the adjacency matmul tiles cleanly onto the MXU.
+    """
+    positions = grid_node_positions(lats, lons)
+    n = positions.shape[0]
+    size = pad_to if pad_to is not None else round_up(n)
+    edges = knn_edges(positions, k=k_neighbors)
+    a_hat = normalized_adjacency(edges, n, pad_to=size)
+    mask = np.zeros((size,), dtype=np.float32)
+    mask[:n] = 1.0
+    return RegionGraph(a_hat=a_hat, node_mask=mask, num_nodes=n, positions=positions)

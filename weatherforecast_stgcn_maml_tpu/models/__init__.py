@@ -1,0 +1,12 @@
+"""Model zoo (reference layer L3): functional init/apply pytree models."""
+
+from weatherforecast_stgcn_maml_tpu.models.stgcn import (  # noqa: F401
+    init_stgcn,
+    apply_stgcn,
+)
+from weatherforecast_stgcn_maml_tpu.models.hybrid import (  # noqa: F401
+    init_hybrid,
+    apply_hybrid,
+    hybrid_param_count,
+)
+from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse  # noqa: F401

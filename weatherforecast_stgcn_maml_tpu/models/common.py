@@ -1,0 +1,56 @@
+"""Shared functional building blocks: dense layers, dropout, dtype policy.
+
+Models in this framework are plain pytrees of arrays with explicit
+`init(key, ...) -> params` / `apply(params, ...) -> out` functions. This keeps
+MAML trivial (params are just leaves to differentiate/update under lax.scan)
+and keeps every transform (grad, vmap, jit, shard_map) first-class.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+def glorot_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def scaled_uniform(key, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+
+def init_dense(key, in_dim: int, out_dim: int) -> Params:
+    """Dense layer params with fan-in uniform init (torch.nn.Linear scheme,
+    so parameter scales match the reference head layers)."""
+    wk, bk = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, jnp.float32))
+    return {
+        "w": scaled_uniform(wk, (in_dim, out_dim), bound),
+        "b": scaled_uniform(bk, (out_dim,), bound),
+    }
+
+
+def apply_dense(p: Params, x: jnp.ndarray, *, compute_dtype=jnp.float32) -> jnp.ndarray:
+    w = p["w"].astype(compute_dtype)
+    return (
+        jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+
+
+def dropout(x: jnp.ndarray, rate: float, rng, *, train: bool) -> jnp.ndarray:
+    """Inverted dropout. No-op when not training / rate==0 / rng is None."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def resolve_dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]

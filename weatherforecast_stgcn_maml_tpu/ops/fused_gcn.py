@@ -1,0 +1,123 @@
+"""Fused dense-adjacency GCN layer as a Pallas TPU kernel.
+
+Computes `relu(A_hat @ (H @ W) + b)` for a batch of time slices in one kernel:
+both matmuls run back-to-back on the MXU with the intermediate held in VMEM,
+and the bias + ReLU epilogue happens in-register — no HBM round-trip for the
+[N, hidden] intermediate that the unfused XLA path may spill between ops.
+
+Shapes are small per slice (N padded to a multiple of 128, channels <= 256),
+so one grid program processes one full (batch, time) slice: VMEM footprint is
+  A_hat [N, N] + H [N, C_in] + W [C_in, C_out] + out [N, C_out]
+~ 2.3 MB for N=512, C=256 fp32 — comfortably under the ~16 MB VMEM budget.
+
+XLA already fuses this pattern well (SURVEY.md section 7 predicted it may win
+at these sizes); `fused_gcn_layer` therefore exists behind the
+`ModelConfig.use_pallas_gcn` flag and `bench.py --kernels` compares the two —
+keep whichever wins. On non-TPU backends it transparently falls back to XLA.
+
+The kernel has a custom VJP so it is usable inside the MAML grad-of-grad
+transform: the backward pass reuses the same fused matmul structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from weatherforecast_stgcn_maml_tpu.models.gcn import apply_gcn_layer
+
+
+def _xla_forward(w, b, a_hat, h, compute_dtype):
+    out = apply_gcn_layer({"w": w, "b": b}, a_hat, h, compute_dtype=compute_dtype)
+    return jax.nn.relu(out)
+
+
+def _kernel(a_ref, h_ref, w_ref, b_ref, out_ref, *, compute_dtype):
+    h = h_ref[0].astype(compute_dtype)  # [N, C_in]
+    w = w_ref[:].astype(compute_dtype)  # [C_in, C_out]
+    hw = jnp.dot(h, w, preferred_element_type=jnp.float32)
+    a = a_ref[:].astype(compute_dtype)  # [N, N]
+    agg = jnp.dot(a, hw.astype(compute_dtype), preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.maximum(agg + b_ref[:], 0.0)
+
+
+def _pallas_forward(w, b, a_hat, h, compute_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = h.shape[:-2]
+    n, c_in = h.shape[-2:]
+    c_out = w.shape[-1]
+    hb = h.reshape(-1, n, c_in)
+    batch = hb.shape[0]
+    b2d = b.reshape(1, c_out)
+
+    out = pl.pallas_call(
+        partial(_kernel, compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, n, c_out), jnp.float32),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * (n * c_in * c_out + n * n * c_out),
+            bytes_accessed=4 * (n * n + batch * n * (c_in + c_out) + c_in * c_out),
+            transcendentals=0,
+        ),
+    )(a_hat, hb, w, b2d)
+    return out.reshape(*lead, n, c_out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused(w, b, a_hat, h, compute_dtype):
+    if jax.default_backend() != "tpu":
+        return _xla_forward(w, b, a_hat, h, compute_dtype)
+    return _pallas_forward(w, b, a_hat, h, compute_dtype)
+
+
+def _fused_fwd(w, b, a_hat, h, compute_dtype):
+    out = _fused(w, b, a_hat, h, compute_dtype)
+    return out, (w, a_hat, h, out)
+
+
+def _fused_bwd(compute_dtype, res, g):
+    w, a_hat, h, out = res
+    g = jnp.where(out > 0, g, 0.0)  # ReLU gate
+    dt = compute_dtype
+    # out = A @ (H W) + b ; dA-term not needed (A is a static buffer).
+    # dH = A^T @ g @ W^T ; dW = H^T @ (A^T @ g) ; db = sum(g).
+    atg = jnp.einsum(
+        "nm,...nc->...mc", a_hat.astype(dt), g.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jnp.dot(atg.astype(dt), w.T.astype(dt), preferred_element_type=jnp.float32)
+    dw = jnp.einsum(
+        "...mi,...mc->ic", h.astype(dt), atg.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    db = g.sum(axis=tuple(range(g.ndim - 1)))
+    da = jnp.zeros_like(a_hat)
+    return dw, db, da, dh
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_gcn_layer(params, a_hat, h, *, compute_dtype=jnp.float32):
+    """Drop-in fused replacement for `relu(apply_gcn_layer(...))`.
+
+    Args:
+      params: {"w": [C_in, C_out], "b": [C_out]}.
+      a_hat: [N, N] normalized adjacency.
+      h: [..., N, C_in].
+    Returns [..., N, C_out] float32.
+    """
+    return _fused(params["w"], params["b"], a_hat, h, compute_dtype)

@@ -1,0 +1,186 @@
+"""Functional MAML: grad-through-inner-SGD, vmapped over region tasks.
+
+The reference's meta-training loop (train_hybrid_maml_v5.py:110-184) deep-
+copies the model per task, runs 90 SGD steps on the copy, backprops the query
+loss into the *copy*, and steps AdamW on the originals — so no meta-gradient
+ever reaches the meta-parameters (SURVEY.md quirk 1). This module implements
+what that code intends, as a pure function transform:
+
+  inner loop   : `lax.scan` of SGD steps (grad + global-norm clip + update)
+                 over the support set — one compiled region of W*N-sized
+                 batched matmuls, no per-step dispatch;
+  meta-gradient: `jax.grad` THROUGH the scan. `second_order=False` gives
+                 FOMAML (inner grads stop_gradient'ed, so the adapted params
+                 depend on the meta-params only through the identity chain);
+                 `second_order=True` differentiates the full unroll with
+                 per-step rematerialization to bound memory;
+  task batch   : `jax.vmap` over stacked tasks (regions are padded to a
+                 common node count, graph.py), replacing the serial
+                 `for task in tasks` loop;
+  accumulation : the meta batch is split into `grad_accum` micro-updates
+                 scanned sequentially, matching the reference's "AdamW step
+                 every 2 tasks" semantics (train_hybrid_maml_v5.py:173-179);
+  outer loop   : optax AdamW + cosine warm restarts + clip (optimizers.py).
+
+Everything here is shape-polymorphic over the task structure and jit/pjit
+friendly: `parallel/meta_dp.py` shards the task micro-batch over the device
+mesh and XLA inserts the psum for the gradient mean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from weatherforecast_stgcn_maml_tpu.config import MetaConfig, ModelConfig
+from weatherforecast_stgcn_maml_tpu.models.hybrid import apply_hybrid, init_hybrid
+from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+    clip_global_norm_tree,
+    meta_optimizer,
+)
+
+
+class Task(NamedTuple):
+    """One meta-learning task (a climate region), fully device-resident.
+
+    Only the support samples the inner loop actually touches are shipped:
+    the reference iterates the first `min(15, S)` support windows per inner
+    epoch without shuffling (train_hybrid_maml_v5.py:121-127), so task
+    builders materialize exactly those. All tasks share padded node count N.
+    """
+
+    support_x: jnp.ndarray  # [S, W, N, C]
+    support_y: jnp.ndarray  # [S, H, N, 12]
+    query_x: jnp.ndarray  # [Q, W, N, C]
+    query_y: jnp.ndarray  # [Q, H, N, 12]
+    koppen: jnp.ndarray  # [] int32 climate class code
+    a_hat: jnp.ndarray  # [N, N]
+    node_mask: jnp.ndarray  # [N]
+
+
+class MamlState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # optimizer update counter
+
+
+def init_meta_state(key, model_cfg: ModelConfig, meta_cfg: MetaConfig) -> MamlState:
+    params = init_hybrid(key, model_cfg)
+    tx, _ = meta_optimizer(meta_cfg)
+    return MamlState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+
+def adapt_and_query_loss(
+    params,
+    task: Task,
+    rng,
+    model_cfg: ModelConfig,
+    cfg: MetaConfig,
+) -> jnp.ndarray:
+    """Inner-adapt on the task's support set, return the query loss.
+
+    This is the per-task function whose gradient w.r.t. `params` is the MAML
+    meta-gradient (exact for second_order=True, first-order otherwise).
+    """
+    n_support = task.support_x.shape[0]
+    total_steps = cfg.inner_epochs * n_support
+
+    def support_loss(p, idx, step_rng):
+        preds = apply_hybrid(
+            p, task.a_hat, task.support_x[idx], task.koppen, model_cfg,
+            train=True, rng=step_rng,
+        )
+        return masked_mse(preds, task.support_y[idx], task.node_mask)
+
+    def inner_step(p, s):
+        # Epoch-major pass over the same support windows, like the
+        # reference's unshuffled DataLoader (train_hybrid_maml_v5.py:121).
+        idx = jnp.mod(s, n_support)
+        g = jax.grad(support_loss)(p, idx, jax.random.fold_in(rng, s))
+        g, _ = clip_global_norm_tree(g, cfg.clip_norm)
+        if not cfg.second_order:
+            g = jax.lax.stop_gradient(g)
+        p = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p, g)
+        return p, None
+
+    step_fn = jax.checkpoint(inner_step) if cfg.second_order else inner_step
+    adapted, _ = jax.lax.scan(step_fn, params, jnp.arange(total_steps))
+
+    # Query evaluation — the reference keeps dropout active here
+    # (adapted_model.train(), train_hybrid_maml_v5.py:159).
+    q = min(cfg.query_batches, task.query_x.shape[0])
+
+    def query_loss(i):
+        q_rng = (
+            jax.random.fold_in(rng, 100_000 + i) if cfg.query_train_mode else None
+        )
+        preds = apply_hybrid(
+            adapted, task.a_hat, task.query_x[i], task.koppen, model_cfg,
+            train=cfg.query_train_mode, rng=q_rng,
+        )
+        return masked_mse(preds, task.query_y[i], task.node_mask)
+
+    return jnp.stack([query_loss(i) for i in range(q)]).mean()
+
+
+def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
+    """Build the jittable meta-training step.
+
+    Returns `meta_step(state, tasks, rng) -> (state, metrics)` where `tasks`
+    is a Task pytree with a leading meta-batch axis of size B (divisible by
+    `grad_accum`). The step performs `grad_accum` sequential optimizer
+    updates, each on the mean gradient of B/grad_accum vmapped tasks.
+    Metrics: per-task query losses [B] (in input order) and the epoch-style
+    scalar `meta_loss` (mean of per-task losses).
+    """
+    tx, schedule = meta_optimizer(cfg)
+
+    def micro_update(state: MamlState, micro):
+        tasks, rngs = micro
+
+        def mean_loss(p):
+            losses = jax.vmap(
+                lambda t, r: adapt_and_query_loss(p, t, r, model_cfg, cfg)
+            )(tasks, rngs)
+            return losses.mean(), losses
+
+        (_, per_task), grads = jax.value_and_grad(mean_loss, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return MamlState(params, opt_state, state.step + 1), per_task
+
+    def meta_step(state: MamlState, tasks: Task, rng):
+        batch = tasks.support_x.shape[0]
+        n_updates = max(1, min(cfg.grad_accum, batch))
+        if batch % n_updates:
+            raise ValueError(
+                f"meta batch {batch} not divisible by grad_accum {n_updates}"
+            )
+        per = batch // n_updates
+        micro_tasks = jax.tree.map(
+            lambda x: x.reshape(n_updates, per, *x.shape[1:]), tasks
+        )
+        rngs = jax.random.split(rng, batch).reshape(n_updates, per)
+        state, losses = jax.lax.scan(micro_update, state, (micro_tasks, rngs))
+        per_task = losses.reshape(batch)
+        metrics = {
+            "meta_loss": per_task.mean(),
+            "per_task_loss": per_task,
+            "learning_rate": schedule(state.step - 1),
+        }
+        return state, metrics
+
+    return meta_step
+
+
+def make_jit_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
+    return jax.jit(make_meta_step(model_cfg, cfg), donate_argnums=(0,))

@@ -1,0 +1,150 @@
+"""Optimizers and learning-rate schedules (optax).
+
+Covers the reference's three optimization setups:
+  * MAML outer loop: AdamW(lr=1e-3, wd=1e-4) + CosineAnnealingWarmRestarts
+    (T_0=10, T_mult=2, eta_min=1e-6) + global grad clip 1.0
+    (train_hybrid_maml_v5.py:245-252, :174-177);
+  * MAML inner loop: plain SGD(lr=0.01) + clip 1.0 (implemented functionally
+    in train/maml.py, not via optax, so it stays differentiable);
+  * regional adaptation: climate-aware Adam (per-zone lr/weight-decay) with
+    the per-epoch ClimateAwareLRScheduler (adaptive_scheduler.py:7-95).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from weatherforecast_stgcn_maml_tpu.config import MetaConfig
+
+# Region-name -> climate-zone membership (adaptive_scheduler.py:29-31).
+TROPICAL_REGIONS = frozenset({"Indonesia", "Thailand", "QueensAustralia"})
+COLD_REGIONS = frozenset({"Moscow", "NorthSiberia", "Afghanistan"})
+
+# Per-zone (lr multiplier, weight decay) (adaptive_scheduler.py:17-21, :72-76).
+CLIMATE_LR_MULT = {"tropical": 0.9, "temperate": 1.0, "cold": 1.1}
+CLIMATE_WEIGHT_DECAY = {"tropical": 1e-5, "temperate": 1e-4, "cold": 5e-5}
+
+
+def climate_zone(region_name: str) -> str:
+    if region_name in TROPICAL_REGIONS:
+        return "tropical"
+    if region_name in COLD_REGIONS:
+        return "cold"
+    return "temperate"
+
+
+def cosine_warm_restarts(
+    base_lr: float,
+    t0: int,
+    t_mult: int,
+    eta_min: float,
+    steps_per_epoch: int = 1,
+):
+    """Closed-form SGDR schedule (CosineAnnealingWarmRestarts equivalent).
+
+    Cycle lengths t0, t0*t_mult, t0*t_mult^2, ... in *epochs*; `steps_per_epoch`
+    maps optimizer-update counts to epochs. Works on traced step values.
+    """
+    t0 = float(t0)
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) / steps_per_epoch
+        if t_mult == 1:
+            t_cur = jnp.mod(epoch, t0)
+            t_i = t0
+        else:
+            tm = float(t_mult)
+            # Cycle index n: epoch >= t0*(tm^n - 1)/(tm - 1).
+            n = jnp.floor(
+                jnp.log(epoch / t0 * (tm - 1.0) + 1.0) / jnp.log(tm)
+            )
+            cycle_start = t0 * (tm**n - 1.0) / (tm - 1.0)
+            t_i = t0 * tm**n
+            t_cur = epoch - cycle_start
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t_cur / t_i))
+        return eta_min + (base_lr - eta_min) * cos
+
+    return schedule
+
+
+def meta_optimizer(cfg: MetaConfig) -> tuple[optax.GradientTransformation, callable]:
+    """Outer-loop AdamW + warm-restart schedule + global clip.
+
+    The schedule is stepped per *optimizer update*; the reference steps its
+    scheduler once per epoch with `grad_accum` updates inside, so
+    steps_per_epoch = grad_accum.
+    """
+    schedule = cosine_warm_restarts(
+        cfg.outer_lr, cfg.cosine_t0, cfg.cosine_t_mult, cfg.eta_min,
+        steps_per_epoch=max(1, cfg.grad_accum),
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_norm),
+        optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay),
+    )
+    return tx, schedule
+
+
+def adaptation_optimizer(
+    region_name: str, base_lr: float = 6e-4, clip_norm: float = 1.0
+) -> tuple[optax.GradientTransformation, float]:
+    """Climate-aware Adam (adaptive_scheduler.py:68-95).
+
+    torch.optim.Adam's `weight_decay` is L2 regularization folded into the
+    gradient *before* the Adam moments — optax equivalent: add_decayed_weights
+    ahead of scale_by_adam. The learning rate is injected per update (the
+    ClimateAwareLRScheduler recomputes it each epoch), so the chain ends at
+    the preconditioned update and the train step applies `-lr * u`.
+    """
+    zone = climate_zone(region_name)
+    lr = base_lr * CLIMATE_LR_MULT[zone]
+    wd = CLIMATE_WEIGHT_DECAY[zone]
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(),
+    )
+    return tx, lr
+
+
+@dataclass
+class ClimateLRSchedule:
+    """Per-epoch climate-aware LR (ClimateAwareLRScheduler, adaptive_scheduler.py:7-66).
+
+    5-epoch cosine cycles scaled by the climate-zone multiplier, with
+    loss-based nudges after epoch 3 (x1.1 if loss > 1.0, x0.95 if < 0.2).
+    Host-side: the resulting scalar feeds the jitted train step.
+    """
+
+    region_name: str
+    base_lr: float = 6e-4
+    cycle_length: int = 5
+    epoch: int = 0
+
+    def step(self, epoch_loss: float | None = None) -> float:
+        self.epoch += 1
+        progress = (self.epoch - 1) % self.cycle_length / self.cycle_length
+        cosine = 0.5 * (1.0 + np.cos(np.pi * progress))
+        lr = self.base_lr * CLIMATE_LR_MULT[climate_zone(self.region_name)] * cosine
+        if epoch_loss is not None and self.epoch > 3:
+            if epoch_loss > 1.0:
+                lr *= 1.1
+            elif epoch_loss < 0.2:
+                lr *= 0.95
+        return float(lr)
+
+
+def clip_global_norm_tree(grads, max_norm: float):
+    """Differentiable global-norm clip matching torch's clip_grad_norm_
+    (scale by max_norm / (norm + 1e-6) only when norm > max_norm). Used
+    inside the MAML inner loop where grads must stay traced."""
+    import jax
+
+    leaves = jax.tree.leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-6), 1.0)
+    return jax.tree.map(lambda g: g * scale, grads), norm

@@ -1,0 +1,92 @@
+"""Supervised single-region training — the regional-adaptation engine core.
+
+TPU-native counterpart of the fine-tuning loop in adapt_hybrid_v5.py:182-231:
+one jitted train step consumes a *batch* of windows gathered device-side
+(data/windows.py) instead of the reference's host-marshalled batch-size-1
+DataLoader; the climate-aware learning rate enters as a traced scalar so the
+host-side ClimateAwareLRScheduler (train/optimizers.py) never forces a
+recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+from weatherforecast_stgcn_maml_tpu.models.hybrid import apply_hybrid
+from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+
+
+class SupervisedState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def batched_forward(
+    params, a_hat, x, koppen, model_cfg: ModelConfig, *, train: bool, rng
+):
+    """vmap the model over a [B, W, N, C] window batch with per-sample rngs."""
+    b = x.shape[0]
+    if rng is not None:
+        rngs = jax.random.split(rng, b)
+        return jax.vmap(
+            lambda xi, ri: apply_hybrid(
+                params, a_hat, xi, koppen, model_cfg, train=train, rng=ri
+            )
+        )(x, rngs)
+    return jax.vmap(
+        lambda xi: apply_hybrid(params, a_hat, xi, koppen, model_cfg, train=train)
+    )(x)
+
+
+def make_train_step(model_cfg: ModelConfig, tx):
+    """Build `step(state, batch, a_hat, node_mask, koppen, lr, rng)`.
+
+    `tx` must be a chain ending in `scale_by_adam` (or similar) producing a
+    preconditioned ascent direction; the step applies `params -= lr * u`.
+    """
+
+    def loss_fn(params, a_hat, x, y, koppen, node_mask, rng):
+        preds = batched_forward(
+            params, a_hat, x, koppen, model_cfg, train=True, rng=rng
+        )
+        return masked_mse(preds, y, node_mask)
+
+    @jax.jit
+    def step(state: SupervisedState, x, y, a_hat, node_mask, koppen, lr, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, a_hat, x, y, koppen, node_mask, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p - lr * u, state.params, updates)
+        return SupervisedState(params, opt_state), loss
+
+    return step
+
+
+def make_eval_step(model_cfg: ModelConfig):
+    """Build `eval_step(params, x, y, a_hat, node_mask, koppen) -> mse`."""
+
+    @jax.jit
+    def eval_step(params, x, y, a_hat, node_mask, koppen):
+        preds = batched_forward(
+            params, a_hat, x, koppen, model_cfg, train=False, rng=None
+        )
+        return masked_mse(preds, y, node_mask)
+
+    return eval_step
+
+
+def make_predict(model_cfg: ModelConfig):
+    """Build `predict(params, x, a_hat, koppen) -> [B, H, N, 12]` (eval mode)."""
+
+    @jax.jit
+    def predict(params, x, a_hat, koppen):
+        return batched_forward(
+            params, a_hat, x, koppen, model_cfg, train=False, rng=None
+        )
+
+    return predict

@@ -1,0 +1,115 @@
+"""Task construction: RegionData -> device-ready MAML Task.
+
+Counterpart of `create_v4_task` (train_hybrid_maml_v5.py:73-107): build the
+graph, preprocess features, window, and split support/query contiguously.
+Differences by design:
+
+  * node counts are padded to a fleet-wide lane-aligned size so all tasks
+    share one compiled shape under vmap (SURVEY.md section 7 hard part (b));
+  * only the support windows the inner loop will touch are materialized
+    (the reference builds a 450-sample Subset but reads 15, SURVEY 3.2);
+  * the Koppen code rides along as an integer; the embedding lookup happens
+    inside the model (see models/hybrid.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.config import DataConfig, MetaConfig, ModelConfig
+from weatherforecast_stgcn_maml_tpu.data.preprocess import (
+    NormStats,
+    pad_nodes,
+    prepare_features,
+)
+from weatherforecast_stgcn_maml_tpu.data.region import RegionData
+from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, contiguous_split
+from weatherforecast_stgcn_maml_tpu.graph import RegionGraph, build_region_graph, round_up
+from weatherforecast_stgcn_maml_tpu.train.maml import Task
+
+
+@dataclass
+class BuiltTask:
+    task: Task  # numpy-leaved Task (stack then ship to device)
+    stats: NormStats
+    graph: RegionGraph
+    region_name: str
+
+
+def _materialize(features: np.ndarray, anchors: np.ndarray, spec: WindowSpec):
+    """Host-side window materialization for a small set of anchors."""
+    xs = np.stack([features[a - spec.window : a] for a in anchors])
+    ys = np.stack([features[a + 1 : a + 1 + spec.horizon, :, :12] for a in anchors])
+    return xs.astype(np.float32), ys.astype(np.float32)
+
+
+def build_task(
+    region: RegionData,
+    model_cfg: ModelConfig,
+    meta_cfg: MetaConfig,
+    data_cfg: DataConfig,
+    *,
+    pad_to: int | None = None,
+    stats: NormStats | None = None,
+) -> BuiltTask:
+    graph = build_region_graph(
+        region.lats, region.lons, k_neighbors=data_cfg.k_neighbors, pad_to=pad_to
+    )
+    features, stats = prepare_features(region, stats=stats)
+    features = pad_nodes(features, graph.padded_nodes)
+
+    spec = WindowSpec(model_cfg.window, model_cfg.horizon)
+    n_samples = spec.num_samples(region.num_timesteps)
+    if n_samples < 2:
+        raise ValueError(
+            f"region {region.name!r}: {region.num_timesteps} timesteps give "
+            f"{n_samples} windows; need >= 2"
+        )
+    support_idx, query_idx = contiguous_split(
+        n_samples, meta_cfg.support_fraction, meta_cfg.max_samples_per_task
+    )
+    if len(query_idx) == 0:  # degenerate tiny regions: reuse the tail
+        query_idx = support_idx[-1:]
+        support_idx = support_idx[:-1]
+
+    # Anchor t for sample i is window + i (data/windows.py).
+    support_used = support_idx[: meta_cfg.inner_batches]
+    query_used = query_idx[: max(1, meta_cfg.query_batches)]
+    sx, sy = _materialize(features, spec.window + support_used, spec)
+    qx, qy = _materialize(features, spec.window + query_used, spec)
+
+    task = Task(
+        support_x=sx,
+        support_y=sy,
+        query_x=qx,
+        query_y=qy,
+        koppen=np.int32(max(region.koppen_code, 0)),
+        a_hat=graph.a_hat,
+        node_mask=graph.node_mask,
+    )
+    return BuiltTask(task=task, stats=stats, graph=graph, region_name=region.name)
+
+
+def common_padded_nodes(regions: list[RegionData]) -> int:
+    """Fleet-wide padded node count (max region size rounded to the lane)."""
+    return round_up(max(r.num_nodes for r in regions))
+
+
+def stack_tasks(tasks: list[Task]) -> Task:
+    """Stack per-region Tasks into one batched Task pytree [B, ...]."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *tasks)
+
+
+def build_meta_tasks(
+    regions: list[RegionData],
+    model_cfg: ModelConfig,
+    meta_cfg: MetaConfig,
+    data_cfg: DataConfig,
+) -> list[BuiltTask]:
+    pad = common_padded_nodes(regions)
+    return [
+        build_task(r, model_cfg, meta_cfg, data_cfg, pad_to=pad) for r in regions
+    ]

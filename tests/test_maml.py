@@ -1,0 +1,213 @@
+"""MAML engine: meta step mechanics, gradient correctness, learning signal."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherforecast_stgcn_maml_tpu.config import DataConfig, MetaConfig, ModelConfig
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+from weatherforecast_stgcn_maml_tpu.train.maml import (
+    MamlState,
+    adapt_and_query_loss,
+    init_meta_state,
+    make_jit_meta_step,
+)
+from weatherforecast_stgcn_maml_tpu.train.optimizers import cosine_warm_restarts
+from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
+from weatherforecast_stgcn_maml_tpu.train.tasks import (
+    build_meta_tasks,
+    build_task,
+    stack_tasks,
+)
+
+MODEL_CFG = ModelConfig(
+    hidden_channels=8,
+    gcn_layers=2,
+    lstm_hidden=8,
+    lstm_layers=1,
+    window=6,
+    horizon=2,
+    koppen_dim=4,
+    gcn_dropout=0.0,
+    lstm_dropout=0.0,
+)
+META_CFG = MetaConfig(
+    meta_batch=2,
+    grad_accum=1,
+    inner_epochs=1,
+    inner_batches=3,
+    query_batches=1,
+    query_train_mode=False,
+)
+DATA_CFG = DataConfig()
+
+
+def _tasks(n=2, t=40):
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.5 + i, 20.0, 20.5), num_timesteps=t, seed=i
+        )
+        for i in range(n)
+    ]
+    return build_meta_tasks(regions, MODEL_CFG, META_CFG, DATA_CFG)
+
+
+def test_task_shapes():
+    built = _tasks()
+    task = built[0].task
+    s, w, n, c = task.support_x.shape
+    assert (s, w, c) == (META_CFG.inner_batches, 6, 16)
+    assert n % 8 == 0 and n >= built[0].graph.num_nodes
+    assert task.support_y.shape == (s, 2, n, 12)
+    assert task.a_hat.shape == (n, n)
+
+
+def test_meta_step_runs_and_learns():
+    built = _tasks()
+    tasks = stack_tasks([b.task for b in built])
+    state = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
+    step = make_jit_meta_step(MODEL_CFG, META_CFG)
+    losses = []
+    for e in range(6):
+        state, metrics = step(state, tasks, jax.random.key(e))
+        losses.append(float(metrics["meta_loss"]))
+        assert metrics["per_task_loss"].shape == (2,)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6 * META_CFG.grad_accum
+
+
+def test_params_change_after_meta_step():
+    built = _tasks()
+    tasks = stack_tasks([b.task for b in built])
+    state = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
+    step = make_jit_meta_step(MODEL_CFG, META_CFG)
+    before = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, tasks, jax.random.key(0))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), before, state.params
+    )
+    # Every major component receives meta-gradient (including the Koppen
+    # embedding, which the reference never trains — SURVEY quirk).
+    assert changed["koppen"]
+    assert any(jax.tree.leaves(changed["encoder"]))
+    assert any(jax.tree.leaves(changed["lstm"]))
+    assert any(jax.tree.leaves(changed["head"]))
+
+
+def test_second_order_meta_gradient_matches_finite_difference():
+    """FD check of d(query_loss)/d(theta) through the unrolled inner SGD
+    (SURVEY.md section 4 test plan item (c)). Runs in float64 so central
+    differences are trustworthy."""
+    cfg = dataclasses.replace(META_CFG, second_order=True, inner_epochs=1)
+    model_cfg = dataclasses.replace(MODEL_CFG, compute_dtype="float64")
+    with jax.enable_x64(True):
+        built = _tasks(n=1)
+        task = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+            if np.asarray(x).dtype == np.float32
+            else jnp.asarray(x),
+            built[0].task,
+        )
+        params = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+            if np.asarray(x).dtype == np.float32
+            else x,
+            init_meta_state(jax.random.key(1), model_cfg, cfg).params,
+        )
+        rng = jax.random.key(2)
+
+        def loss_fn(p):
+            return adapt_and_query_loss(p, task, rng, model_cfg, cfg)
+
+        grads = jax.grad(loss_fn)(params)
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = jax.tree.leaves(grads)
+        rng_np = np.random.default_rng(0)
+        # Probe one random coordinate in several leaves spread over the tree.
+        for leaf_i in [0, len(flat_p) // 2, len(flat_p) - 1]:
+            leaf = flat_p[leaf_i]
+            idx = np.unravel_index(rng_np.integers(leaf.size), leaf.shape)
+            eps = 1e-5
+
+            def perturbed(delta):
+                flat2 = list(flat_p)
+                flat2[leaf_i] = leaf.at[idx].add(delta)
+                return jax.tree.unflatten(treedef, flat2)
+
+            fd = (
+                float(loss_fn(perturbed(+eps))) - float(loss_fn(perturbed(-eps)))
+            ) / (2 * eps)
+            an = float(flat_g[leaf_i][idx])
+            assert np.isclose(fd, an, rtol=2e-2, atol=1e-7), (leaf_i, fd, an)
+
+
+def test_first_order_vs_second_order_differ_but_correlate():
+    built = _tasks(n=1)
+    task = jax.tree.map(jnp.asarray, built[0].task)
+    rng = jax.random.key(0)
+    params = init_meta_state(jax.random.key(1), MODEL_CFG, META_CFG).params
+
+    def grad_for(second_order):
+        cfg = dataclasses.replace(META_CFG, second_order=second_order)
+        return jax.grad(
+            lambda p: adapt_and_query_loss(p, task, rng, MODEL_CFG, cfg)
+        )(params)
+
+    g_fo = grad_for(False)
+    g_so = grad_for(True)
+    v_fo = jnp.concatenate([l.ravel() for l in jax.tree.leaves(g_fo)])
+    v_so = jnp.concatenate([l.ravel() for l in jax.tree.leaves(g_so)])
+    assert float(jnp.linalg.norm(v_fo)) > 0
+    assert float(jnp.linalg.norm(v_so)) > 0
+    cos = float(
+        jnp.dot(v_fo, v_so) / (jnp.linalg.norm(v_fo) * jnp.linalg.norm(v_so))
+    )
+    # Same task, short horizon: directions should correlate but not be equal.
+    assert cos > 0.5, cos
+    assert not np.allclose(np.asarray(v_fo), np.asarray(v_so))
+
+
+def test_cosine_warm_restarts_schedule():
+    sched = cosine_warm_restarts(1.0, t0=10, t_mult=2, eta_min=0.0)
+    # Epoch 0: full lr. Epoch 10: restart -> full lr again. Epoch 5: min-ish.
+    assert np.isclose(float(sched(0)), 1.0)
+    assert np.isclose(float(sched(10)), 1.0)
+    assert float(sched(5)) == pytest.approx(0.5, abs=1e-6)
+    # Second cycle spans epochs 10..30: epoch 20 is its midpoint.
+    assert float(sched(20)) == pytest.approx(0.5, abs=1e-6)
+    # Monotone decrease within a cycle.
+    vals = [float(sched(e)) for e in range(10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_difficulty_sampler_prefers_harder_tasks():
+    s = DifficultySampler(num_tasks=4, batch_size=2, ema=0.5, seed=0)
+    # Uniform before any updates.
+    first = s.sample()
+    assert len(set(first.tolist())) == 2
+    s.update([0, 1, 2, 3], [10.0, 0.1, 0.1, 0.1])
+    counts = np.zeros(4)
+    for _ in range(300):
+        for i in s.sample():
+            counts[i] += 1
+    assert counts[0] == max(counts)
+    # EMA update moves difficulty toward new loss.
+    s.update([0], [0.0])
+    assert s.difficulty[0] == pytest.approx(5.0)
+
+
+def test_grad_accum_equals_two_updates():
+    """grad_accum=2 on 4 tasks must perform two sequential optimizer updates
+    (reference semantics: AdamW step every 2 tasks)."""
+    built = _tasks(n=4, t=40)
+    tasks = stack_tasks([b.task for b in built])
+    cfg = dataclasses.replace(META_CFG, meta_batch=4, grad_accum=2)
+    state = init_meta_state(jax.random.key(0), MODEL_CFG, cfg)
+    step = make_jit_meta_step(MODEL_CFG, cfg)
+    state, metrics = step(state, tasks, jax.random.key(0))
+    assert int(state.step) == 2
+    assert metrics["per_task_loss"].shape == (4,)

@@ -1,0 +1,127 @@
+"""Parallel layer: mesh construction, dp-sharded meta step on 8 fake devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weatherforecast_stgcn_maml_tpu.config import (
+    DataConfig,
+    MeshConfig,
+    MetaConfig,
+    ModelConfig,
+)
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+    make_mesh,
+    shard_task_batch,
+    task_batch_sharding,
+)
+from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import make_parallel_meta_step
+from weatherforecast_stgcn_maml_tpu.train.maml import (
+    init_meta_state,
+    make_jit_meta_step,
+)
+from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+
+MODEL_CFG = ModelConfig(
+    hidden_channels=8,
+    gcn_layers=2,
+    lstm_hidden=8,
+    lstm_layers=1,
+    window=6,
+    horizon=2,
+    koppen_dim=4,
+    gcn_dropout=0.0,
+    lstm_dropout=0.0,
+)
+
+
+def _build(meta_cfg):
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.5 + i, 20.0, 20.5), num_timesteps=32, seed=i
+        )
+        for i in range(meta_cfg.meta_batch)
+    ]
+    built = build_meta_tasks(regions, MODEL_CFG, meta_cfg, DataConfig())
+    return stack_tasks([b.task for b in built])
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh():
+    mesh = make_mesh(MeshConfig())
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp",)
+    small = make_mesh(MeshConfig(num_devices=4))
+    assert small.devices.size == 4
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(num_devices=64))
+
+
+def test_parallel_meta_step_matches_single_device():
+    """dp-sharded meta step must be numerically equivalent to the
+    single-device step (same tasks, same rng)."""
+    meta_cfg = MetaConfig(
+        meta_batch=8,
+        grad_accum=2,
+        inner_epochs=1,
+        inner_batches=2,
+        query_train_mode=False,
+    )
+    tasks = _build(meta_cfg)
+    mesh = make_mesh(MeshConfig(num_devices=4))
+
+    state0 = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    single = make_jit_meta_step(MODEL_CFG, meta_cfg)
+    s1, m1 = single(state0, jax.tree.map(jnp.asarray, tasks), jax.random.key(7))
+
+    state0b = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    par = make_parallel_meta_step(
+        MODEL_CFG, meta_cfg, mesh, donate_state=False
+    )
+    sharded = shard_task_batch(jax.tree.map(jnp.asarray, tasks), mesh)
+    s2, m2 = par(state0b, sharded, jax.random.key(7))
+
+    np.testing.assert_allclose(
+        np.asarray(m1["per_task_loss"]),
+        np.asarray(m2["per_task_loss"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_meta_step_rejects_uneven_shard():
+    meta_cfg = MetaConfig(meta_batch=6, grad_accum=2, inner_epochs=1, inner_batches=2)
+    mesh = make_mesh(MeshConfig(num_devices=4))
+    with pytest.raises(ValueError):
+        make_parallel_meta_step(MODEL_CFG, meta_cfg, mesh)
+
+
+def test_task_batch_actually_sharded():
+    meta_cfg = MetaConfig(meta_batch=8, grad_accum=1, inner_epochs=1, inner_batches=2)
+    tasks = _build(meta_cfg)
+    mesh = make_mesh(MeshConfig())
+    sharded = shard_task_batch(jax.tree.map(jnp.asarray, tasks), mesh)
+    sh = sharded.support_x.sharding
+    assert sh == task_batch_sharding(mesh)
+    # Each device holds 1/8 of the task axis.
+    shard_shapes = {s.data.shape for s in sharded.support_x.addressable_shards}
+    assert shard_shapes == {(1, *tasks.support_x.shape[1:])}
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 512, 12)
+    ge.dryrun_multichip(8)

@@ -35,10 +35,19 @@ def init_dense(key, in_dim: int, out_dim: int) -> Params:
     }
 
 
+def accum_dtype(compute_dtype):
+    """MXU accumulation dtype: float32 for f32/bf16 compute, float64 when the
+    whole computation is in f64 (gradient finite-difference tests)."""
+    return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+
+
 def apply_dense(p: Params, x: jnp.ndarray, *, compute_dtype=jnp.float32) -> jnp.ndarray:
     w = p["w"].astype(compute_dtype)
     return (
-        jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+        jnp.dot(
+            x.astype(compute_dtype), w,
+            preferred_element_type=accum_dtype(compute_dtype),
+        )
         + p["b"]
     )
 
@@ -53,4 +62,9 @@ def dropout(x: jnp.ndarray, rate: float, rng, *, train: bool) -> jnp.ndarray:
 
 
 def resolve_dtype(name: str):
-    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    # float64 exists for gradient finite-difference tests only (CPU + x64).
+    return {
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "float64": jnp.float64,
+    }[name]

@@ -48,11 +48,14 @@ def apply_gcn_layer(
     Returns:
       [..., N, C_out] float32 (accumulation forced to f32 for MXU).
     """
+    from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype
+
+    acc = accum_dtype(compute_dtype)
     w = p["w"].astype(compute_dtype)
     a = a_hat.astype(compute_dtype)
-    hw = jnp.dot(h.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+    hw = jnp.dot(h.astype(compute_dtype), w, preferred_element_type=acc)
     out = jnp.einsum(
         "nm,...mc->...nc", a, hw.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
     return out + p["b"]

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from weatherforecast_stgcn_maml_tpu.models.common import (
     Params,
+    accum_dtype,
     dropout,
     scaled_uniform,
 )
@@ -48,20 +49,21 @@ def _lstm_layer(
     """One LSTM layer over time-major input [T, B, C] -> outputs [T, B, H]."""
     t, b, _ = x_tbc.shape
     hidden = p["wh"].shape[0]
+    acc = accum_dtype(compute_dtype)
     wx = p["wx"].astype(compute_dtype)
     wh = p["wh"].astype(compute_dtype)
     bias = p["b"]
 
     # Hoist the input projection out of the scan: [T, B, C] @ [C, 4H].
     x_proj = (
-        jnp.dot(x_tbc.astype(compute_dtype), wx, preferred_element_type=jnp.float32)
+        jnp.dot(x_tbc.astype(compute_dtype), wx, preferred_element_type=acc)
         + bias
     )
 
     def step(carry, xp):
         h, c = carry
         gates = xp + jnp.dot(
-            h.astype(compute_dtype), wh, preferred_element_type=jnp.float32
+            h.astype(compute_dtype), wh, preferred_element_type=acc
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -71,8 +73,8 @@ def _lstm_layer(
         return (h, c), h
 
     init = (
-        jnp.zeros((b, hidden), jnp.float32),
-        jnp.zeros((b, hidden), jnp.float32),
+        jnp.zeros((b, hidden), x_proj.dtype),
+        jnp.zeros((b, hidden), x_proj.dtype),
     )
     (_, _), outputs = jax.lax.scan(step, init, x_proj)
     return outputs

@@ -130,7 +130,7 @@ def adapt_and_query_loss(
     return jnp.stack([query_loss(i) for i in range(q)]).mean()
 
 
-def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
+def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"):
     """Build the jittable meta-training step.
 
     Returns `meta_step(state, tasks, rng) -> (state, metrics)` where `tasks`
@@ -139,8 +139,24 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
     updates, each on the mean gradient of B/grad_accum vmapped tasks.
     Metrics: per-task query losses [B] (in input order) and the epoch-style
     scalar `meta_loss` (mean of per-task losses).
+
+    With a `mesh`, each micro-batch of tasks is sharding-constrained along
+    `axis` (data parallelism over tasks): the vmapped inner loops run fully
+    local per device and XLA inserts one psum over ICI for the gradient mean
+    — the TPU-native realization of the reference's serial task loop +
+    gradient accumulation (SURVEY.md section 2, parallelism table).
     """
     tx, schedule = meta_optimizer(cfg)
+
+    def _shard_micro(micro_tasks):
+        if mesh is None:
+            return micro_tasks
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P(None, axis))
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, spec), micro_tasks
+        )
 
     def micro_update(state: MamlState, micro):
         tasks, rngs = micro
@@ -169,6 +185,7 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
         micro_tasks = jax.tree.map(
             lambda x: x.reshape(n_updates, per, *x.shape[1:]), tasks
         )
+        micro_tasks = _shard_micro(micro_tasks)
         rngs = jax.random.split(rng, batch).reshape(n_updates, per)
         state, losses = jax.lax.scan(micro_update, state, (micro_tasks, rngs))
         per_task = losses.reshape(batch)

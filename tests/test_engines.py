@@ -1,0 +1,169 @@
+"""End-to-end engine tests: meta-train -> adapt -> validate -> pipeline,
+entirely on synthetic data (SURVEY.md section 4 plan item (e))."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from weatherforecast_stgcn_maml_tpu.config import (
+    AdaptConfig,
+    DataConfig,
+    ExperimentConfig,
+    MetaConfig,
+    ModelConfig,
+)
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+from weatherforecast_stgcn_maml_tpu.engines.adapt import run_adaptation
+from weatherforecast_stgcn_maml_tpu.engines.meta_train import run_meta_training
+from weatherforecast_stgcn_maml_tpu.engines.pipeline import run_pipeline
+from weatherforecast_stgcn_maml_tpu.engines.validate import run_validation
+from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+)
+
+BOX_A = (10.0, 10.75, 20.0, 20.75)  # 4x4 = 16 nodes
+BOX_B = (30.0, 30.75, 40.0, 40.75)
+
+
+def _cfg(tmp_path) -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(
+            hidden_channels=8,
+            gcn_layers=2,
+            lstm_hidden=8,
+            lstm_layers=1,
+            window=6,
+            horizon=2,
+            koppen_dim=4,
+        ),
+        meta=MetaConfig(
+            num_epochs=3,
+            meta_batch=2,
+            grad_accum=1,
+            inner_epochs=1,
+            inner_batches=3,
+            query_train_mode=False,
+        ),
+        adapt=AdaptConfig(epochs=2, batch_size=4, max_samples=40),
+        data=DataConfig(synthetic_timesteps=48, validate_max_timesteps=20),
+        out_dir=str(tmp_path / "out"),
+    )
+
+
+def _regions():
+    return [
+        synthetic_region_for_box(BOX_A, num_timesteps=48, seed=1, name="A"),
+        synthetic_region_for_box(BOX_B, num_timesteps=48, seed=2, name="B"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("engines")
+    cfg = _cfg(tmp)
+    logs = []
+    res = run_meta_training(cfg, _regions(), log_cb=logs.append)
+    return cfg, res, logs
+
+
+def test_meta_training_artifacts(trained):
+    cfg, res, logs = trained
+    assert np.isfinite(res.best_loss)
+    assert checkpoint_exists(res.best_path)
+    assert checkpoint_exists(res.final_path)
+    csv = os.path.join(cfg.out_dir, "meta", "meta_log.csv")
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == "epoch,meta_loss,learning_rate"
+    assert len(lines) == 1 + cfg.meta.num_epochs
+    _, meta = load_checkpoint(res.best_path)
+    assert meta["schema"] == "wfstgcn-meta-v1"
+    assert meta["config"]["model"]["hidden_channels"] == 8
+
+
+def test_meta_training_resume(trained):
+    cfg, res, _ = trained
+    cfg2 = dataclasses.replace(
+        cfg, meta=dataclasses.replace(cfg.meta, num_epochs=5)
+    )
+    logs = []
+    res2 = run_meta_training(cfg2, _regions(), resume=True, log_cb=logs.append)
+    assert res2.epochs_run == 2  # epochs 3..4 only
+    assert any("resumed at epoch 3" in l for l in logs)
+
+
+def test_adapt_and_validate(trained):
+    cfg, res, _ = trained
+    region = synthetic_region_for_box(BOX_A, num_timesteps=48, seed=3, name="A")
+    ares = run_adaptation(
+        cfg, BOX_A, "RegionA", meta_ckpt=res.best_path, region=region,
+        log_cb=lambda *_: None,
+    )
+    assert np.isfinite(ares.val_mse)
+    assert len(ares.epoch_losses) == cfg.adapt.epochs
+    assert checkpoint_exists(ares.ckpt_path)
+    _, meta = load_checkpoint(ares.ckpt_path)
+    assert meta["region_name"] == "RegionA"
+    assert len(meta["stats"]["mean"]) == 12
+
+    vres = run_validation(cfg, BOX_A, "RegionA", log_cb=lambda *_: None)
+    assert vres.model_kind == "adapted"
+    assert "t2m" in vres.results
+    assert np.isfinite(vres.results["average_mse"])
+    assert "Step | Timestamp" in vres.table
+    assert len(vres.plots) == 2
+    for p in vres.plots:
+        assert os.path.getsize(p) > 1000
+
+
+def test_validate_falls_back_to_base(trained):
+    cfg, res, _ = trained
+    vres = run_validation(
+        cfg, BOX_B, "NeverAdapted", make_plots=False, log_cb=lambda *_: None
+    )
+    assert vres.model_kind == "base"
+    assert np.isfinite(vres.results["average_mse"])
+
+
+def test_pipeline(trained):
+    cfg, _, _ = trained
+    regions = [(BOX_A, "PipeA"), (BOX_B, "PipeB")]
+    pres = run_pipeline(cfg, regions, make_plots=False, log_cb=lambda *_: None)
+    assert set(pres.validations) == {"PipeA", "PipeB"}
+    assert not pres.errors
+    assert all(np.isfinite(v["average_mse"]) for v in pres.validations.values())
+    # Second run reuses the adapted checkpoints (idempotent).
+    pres2 = run_pipeline(cfg, regions, make_plots=False, log_cb=lambda *_: None)
+    assert set(pres2.validations) == {"PipeA", "PipeB"}
+
+
+def test_pipeline_sharding(trained):
+    cfg, _, _ = trained
+    regions = [(BOX_A, "S0"), (BOX_B, "S1"), (BOX_A, "S2")]
+    p0 = run_pipeline(
+        cfg, regions, shard_id=0, num_shards=2, make_plots=False,
+        log_cb=lambda *_: None,
+    )
+    assert set(p0.seconds) == {"S0", "S2"}
+
+
+def test_pipeline_isolates_errors(trained, tmp_path):
+    cfg, _, _ = trained
+    bad_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, synthetic_timesteps=4)
+    )
+    regions = [(BOX_B, "TooShort")]
+    pres = run_pipeline(bad_cfg, regions, make_plots=False, log_cb=lambda *_: None)
+    assert "TooShort" in pres.errors
+    assert pres.validations == {}
+
+
+def test_cli_info(capsys):
+    from weatherforecast_stgcn_maml_tpu.cli import main
+
+    assert main(["info", "-o", "meta.num_epochs=7"]) == 0
+    out = capsys.readouterr().out
+    assert '"num_epochs": 7' in out
+    assert "Moscow" in out

@@ -1,0 +1,129 @@
+"""Utils: checkpoint roundtrip, loggers, eval metrics, plots."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.config import WEATHER_VARS
+from weatherforecast_stgcn_maml_tpu.data.preprocess import NormStats
+from weatherforecast_stgcn_maml_tpu.eval.metrics import forecast_table, variable_metrics
+from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from weatherforecast_stgcn_maml_tpu.utils.metrics import CsvLogger, JsonlLogger
+from weatherforecast_stgcn_maml_tpu.utils.profiling import Timer
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    arrays = {
+        "params": {"w": np.arange(6.0).reshape(2, 3), "b": np.zeros(3)},
+        "nested": [np.ones(2), np.full((2, 2), 7.0)],
+    }
+    meta = {"epoch": 3, "stats": {"mean": [1.0, 2.0]}, "name": "x"}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, arrays, meta)
+    assert checkpoint_exists(path)
+    back, meta2 = load_checkpoint(path, like=arrays)
+    np.testing.assert_array_equal(back["params"]["w"], arrays["params"]["w"])
+    np.testing.assert_array_equal(back["nested"][1], arrays["nested"][1])
+    assert meta2["epoch"] == 3
+    assert meta2["stats"]["mean"] == [1.0, 2.0]
+
+
+def test_checkpoint_overwrite(tmp_path):
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"a": np.zeros(2)}, {"v": 1})
+    save_checkpoint(path, {"a": np.ones(2)}, {"v": 2})
+    back, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(back["a"], np.ones(2))
+    assert meta["v"] == 2
+
+
+def test_csv_logger(tmp_path):
+    path = str(tmp_path / "log.csv")
+    log = CsvLogger(path, ["epoch", "meta_loss", "learning_rate"])
+    log.log(epoch=1, meta_loss=0.5, learning_rate=1e-3)
+    log.log(epoch=2, meta_loss=0.4, learning_rate=9e-4)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "epoch,meta_loss,learning_rate"
+    assert lines[1].startswith("1,0.5")
+    # Appending to an existing file does not rewrite the header.
+    CsvLogger(path, ["epoch", "meta_loss", "learning_rate"]).log(
+        epoch=3, meta_loss=0.3, learning_rate=8e-4
+    )
+    assert len(open(path).read().strip().split("\n")) == 4
+
+
+def test_jsonl_logger(tmp_path):
+    path = str(tmp_path / "log.jsonl")
+    log = JsonlLogger(path)
+    log.log({"a": 1, "b": np.float32(2.5)})
+    rec = json.loads(open(path).read())
+    assert rec == {"a": 1, "b": 2.5}
+
+
+def test_timer():
+    t = Timer()
+    with t.span("a"):
+        pass
+    with t.span("a"):
+        pass
+    assert t.summary()["a"] >= 0
+
+
+def test_variable_metrics_excludes_sp():
+    stats = NormStats(mean=np.zeros(12, np.float32), std=np.ones(12, np.float32))
+    pred = np.zeros((4, 12))
+    true = np.zeros((4, 12))
+    sp_idx = WEATHER_VARS.index("sp")
+    true[:, sp_idx] = 100.0  # massive sp error must not pollute the average
+    true[:, 0] = 1.0  # u10 error of 1 -> mse 1
+    res = variable_metrics(pred, true, stats)
+    assert res["sp"]["mse"] == 10000.0
+    assert res["u10"]["mse"] == 1.0
+    # average over 5 scored non-sp vars: (1 + 0 + 0 + 0 + 0) / 5
+    assert np.isclose(res["average_mse"], 0.2)
+
+
+def test_variable_metrics_denormalizes():
+    stats = NormStats(
+        mean=np.full(12, 10.0, np.float32), std=np.full(12, 2.0, np.float32)
+    )
+    pred = np.zeros((2, 12))
+    true = np.ones((2, 12))  # denorm difference = std = 2 -> mse 4
+    res = variable_metrics(pred, true, stats)
+    assert np.isclose(res["u10"]["mse"], 4.0)
+    assert np.isclose(res["u10"]["mae"], 2.0)
+
+
+def test_forecast_table():
+    times = np.array(["2025-01-01T00:00", "2025-01-01T01:00"], dtype="datetime64[ns]")
+    table = forecast_table(times, np.array([280.0, 281.0]), np.array([279.0, 283.0]))
+    assert "2025-01-01T00:00" in table
+    assert "280.0" in table and "283.0" in table
+
+
+def test_plots(tmp_path):
+    from weatherforecast_stgcn_maml_tpu.eval.plots import (
+        temperature_figure,
+        variables_figure,
+    )
+
+    stats = NormStats(mean=np.zeros(12, np.float32), std=np.ones(12, np.float32))
+    it = np.array(["2025-01-01T00:00", "2025-01-01T01:00"], dtype="datetime64[ns]")
+    ft = np.array(["2025-01-01T02:00", "2025-01-01T03:00"], dtype="datetime64[ns]")
+    p1 = temperature_figure(
+        str(tmp_path / "t.png"), it, ft,
+        np.array([280.0, 281.0]), np.array([282.0, 283.0]), np.array([281.5, 282.5]),
+        "TestRegion",
+    )
+    p2 = variables_figure(
+        str(tmp_path / "v.png"), np.zeros((4, 12)), np.ones((4, 12)) * 0.1,
+        stats, "TestRegion",
+    )
+    assert os.path.getsize(p1) > 1000
+    assert os.path.getsize(p2) > 1000

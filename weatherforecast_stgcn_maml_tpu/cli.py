@@ -1,0 +1,171 @@
+"""Command-line interface for the framework.
+
+The reference has no CLI — every workflow is a module-level script with
+hardcoded constants (SURVEY.md section 5, config). Here one entry point
+drives all workflows with dotted-path config overrides:
+
+  python -m weatherforecast_stgcn_maml_tpu.cli meta-train -o meta.num_epochs=5
+  python -m weatherforecast_stgcn_maml_tpu.cli adapt --region Moscow
+  python -m weatherforecast_stgcn_maml_tpu.cli validate --region Moscow
+  python -m weatherforecast_stgcn_maml_tpu.cli pipeline --shard 0 --num-shards 4
+  python -m weatherforecast_stgcn_maml_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from weatherforecast_stgcn_maml_tpu.config import (
+    ADAPTATION_REGIONS,
+    ExperimentConfig,
+    apply_overrides,
+    to_dict,
+)
+
+
+def _region_by_name(name: str):
+    for box, rname in ADAPTATION_REGIONS:
+        if rname == name:
+            return box, rname
+    names = ", ".join(n for _, n in ADAPTATION_REGIONS)
+    raise SystemExit(f"unknown region {name!r}; known: {names}")
+
+
+def _parse_box(values):
+    lat_min, lat_max, lon_min, lon_max = map(float, values)
+    return (lat_min, lat_max, lon_min, lon_max)
+
+
+def _add_common(p):
+    p.add_argument(
+        "-o",
+        "--override",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="config override, e.g. -o meta.num_epochs=5 -o out_dir=out2",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wfstgcn", description="TPU-native MAML-STGCN-LSTM weather forecasting"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    mt = sub.add_parser("meta-train", help="MAML meta-training over global regions")
+    mt.add_argument("--resume", action="store_true", help="resume from ckpt_last")
+    mt.add_argument(
+        "--mesh", action="store_true",
+        help="shard the meta batch over all available devices",
+    )
+    _add_common(mt)
+
+    ad = sub.add_parser("adapt", help="fine-tune the meta-init to one region")
+    ad.add_argument("--region", help="named region (see `info`)")
+    ad.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    ad.add_argument("--name", help="region name when using --box")
+    ad.add_argument("--meta-ckpt", help="path to the meta checkpoint")
+    _add_common(ad)
+
+    va = sub.add_parser("validate", help="validate an adapted model")
+    va.add_argument("--region", help="named region (see `info`)")
+    va.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    va.add_argument("--name")
+    va.add_argument("--no-plots", action="store_true")
+    _add_common(va)
+
+    pl = sub.add_parser("pipeline", help="adapt+validate all regions")
+    pl.add_argument("--regions", help="comma-separated subset of region names")
+    pl.add_argument("--shard", type=int, default=None, help="this host's shard id")
+    pl.add_argument("--num-shards", type=int, default=None)
+    pl.add_argument("--no-plots", action="store_true")
+    _add_common(pl)
+
+    info = sub.add_parser("info", help="print config, regions, and devices")
+    _add_common(info)
+
+    return p
+
+
+def _resolve_region(args):
+    if args.region:
+        return _region_by_name(args.region)
+    if args.box:
+        return _parse_box(args.box), (args.name or f"box{tuple(args.box)}")
+    raise SystemExit("pass --region NAME or --box LAT_MIN LAT_MAX LON_MIN LON_MAX")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = apply_overrides(ExperimentConfig(), args.override)
+
+    if args.command == "info":
+        import jax
+
+        print(json.dumps(to_dict(cfg), indent=2))
+        print("devices:", jax.devices())
+        print("regions:", ", ".join(n for _, n in ADAPTATION_REGIONS))
+        return 0
+
+    if args.command == "meta-train":
+        from weatherforecast_stgcn_maml_tpu.engines.meta_train import run_meta_training
+
+        mesh = None
+        if args.mesh:
+            from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.mesh)
+        res = run_meta_training(cfg, mesh=mesh, resume=args.resume)
+        print(f"best_loss={res.best_loss:.6f} best={res.best_path}")
+        return 0
+
+    if args.command == "adapt":
+        from weatherforecast_stgcn_maml_tpu.engines.adapt import run_adaptation
+
+        box, name = _resolve_region(args)
+        res = run_adaptation(cfg, box, name, meta_ckpt=args.meta_ckpt)
+        print(f"val_mse={res.val_mse:.6f} ckpt={res.ckpt_path}")
+        return 0
+
+    if args.command == "validate":
+        from weatherforecast_stgcn_maml_tpu.engines.validate import run_validation
+
+        box, name = _resolve_region(args)
+        res = run_validation(cfg, box, name, make_plots=not args.no_plots)
+        print(json.dumps(res.results, indent=2))
+        return 0
+
+    if args.command == "pipeline":
+        from weatherforecast_stgcn_maml_tpu.engines.pipeline import run_pipeline
+        from weatherforecast_stgcn_maml_tpu.parallel.fleet import auto_shard
+
+        regions = None
+        if args.regions:
+            regions = [_region_by_name(n.strip()) for n in args.regions.split(",")]
+        if args.shard is None and args.num_shards is None:
+            shard, num = 0, 1
+        elif args.shard is not None and args.num_shards is not None:
+            shard, num = args.shard, args.num_shards
+        else:
+            shard, num = auto_shard()
+        res = run_pipeline(
+            cfg,
+            regions,
+            shard_id=shard,
+            num_shards=num,
+            make_plots=not args.no_plots,
+        )
+        return 1 if res.errors else 0
+
+    raise SystemExit(f"unhandled command {args.command}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

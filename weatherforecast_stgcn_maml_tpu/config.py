@@ -191,6 +191,9 @@ class DataConfig:
     # Validation protocol (validate_hybrid_v5.py:156-159, :194-206).
     validate_max_timesteps: int = 50
     validate_num_samples: int = 3
+    # Timesteps generated per region when no ERA5 root is configured and the
+    # synthetic backend is used (tests, benchmarks, smoke runs).
+    synthetic_timesteps: int = 720
 
 
 @dataclass(frozen=True)

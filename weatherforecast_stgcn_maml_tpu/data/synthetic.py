@@ -101,6 +101,7 @@ def synthetic_region_for_box(
     lat_min, lat_max, lon_min, lon_max = box
     if seed is None:
         seed = abs(hash((lat_min, lat_max, lon_min, lon_max))) % (2**31)
+    kwargs.setdefault("name", f"synthetic{box}")
     return synthetic_region(
         lat_min,
         lat_max,
@@ -109,6 +110,5 @@ def synthetic_region_for_box(
         num_timesteps=num_timesteps,
         resolution=resolution,
         seed=seed,
-        name=f"synthetic{box}",
         **kwargs,
     )

@@ -1,0 +1,196 @@
+"""Regional adaptation engine — the TPU-native adapt_hybrid_v5.py.
+
+Workflow parity (adapt_hybrid_v5.py:65-271): load the meta-trained
+checkpoint, load the region's adaptation-year data, fine-tune ALL parameters
+with the climate-aware optimizer + per-epoch LR schedule, validate on the
+held-out contiguous tail, save the adapted checkpoint including the region's
+normalization stats (which validation must reuse).
+
+TPU redesign: the feature tensor stays HBM-resident; every epoch is one
+compiled scan over window batches (train/supervised.py) instead of ~960
+host-marshalled single-sample batches. The base is honestly trainable —
+the reference's `torch.no_grad()` base freeze (SURVEY quirk 2) is the
+`model.stop_base_gradients` flag.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.config import ExperimentConfig, to_dict
+from weatherforecast_stgcn_maml_tpu.data.preprocess import pad_nodes, prepare_features
+from weatherforecast_stgcn_maml_tpu.data.region import RegionData
+from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, contiguous_split
+from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
+from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
+from weatherforecast_stgcn_maml_tpu.models.hybrid import hybrid_param_count, init_hybrid
+from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+    ClimateLRSchedule,
+    adaptation_optimizer,
+    climate_zone,
+)
+from weatherforecast_stgcn_maml_tpu.train.supervised import (
+    SupervisedState,
+    make_batched_eval,
+    make_epoch_runner,
+)
+from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from weatherforecast_stgcn_maml_tpu.utils.metrics import JsonlLogger
+
+
+@dataclass
+class AdaptResult:
+    ckpt_path: str
+    val_mse: float
+    epoch_losses: list
+    region_name: str
+
+
+def adapted_ckpt_path(out_dir: str, region_name: str, box) -> str:
+    safe = region_name.replace("/", "_")
+    return os.path.join(out_dir, "adapted", f"{safe}_{tuple(box)}")
+
+
+def _batch_anchors(anchors: np.ndarray, batch_size: int, *, shuffle, rng):
+    """[S] anchors -> [nb, B], shuffled, remainder wrapped to keep coverage."""
+    a = np.asarray(anchors)
+    if shuffle:
+        a = rng.permutation(a)
+    b = max(1, min(batch_size, len(a)))
+    nb = -(-len(a) // b)
+    padded = np.resize(a, nb * b)  # wraps around, every anchor appears >= once
+    return padded.reshape(nb, b)
+
+
+def run_adaptation(
+    cfg: ExperimentConfig,
+    box,
+    region_name: str,
+    *,
+    meta_ckpt: str | None = None,
+    region: RegionData | None = None,
+    log_cb=print,
+) -> AdaptResult:
+    model_cfg, ad = cfg.model, cfg.adapt
+    out_dir = cfg.out_dir
+    if meta_ckpt is None:
+        meta_ckpt = os.path.join(out_dir, "meta", "ckpt_best")
+
+    # Rebuild params from the checkpoint (template-shaped restore).
+    template = init_hybrid(jax.random.key(0), model_cfg)
+    arrays, meta = load_checkpoint(meta_ckpt, like={"params": template})
+    params = arrays["params"]
+    log_cb(
+        f"[adapt:{region_name}] loaded {meta_ckpt} "
+        f"(epoch {meta.get('epoch')}, {hybrid_param_count(params):,} params)"
+    )
+
+    if region is None:
+        region = get_region_data(
+            box, cfg.data.adapt_years, cfg.data, tag="adapt", name=region_name
+        )
+
+    graph = build_region_graph(
+        region.lats, region.lons, k_neighbors=cfg.data.k_neighbors
+    )
+    features_np, stats = prepare_features(region)
+    features = jnp.asarray(pad_nodes(features_np, graph.padded_nodes))
+
+    spec = WindowSpec(model_cfg.window, model_cfg.horizon)
+    n_samples = spec.num_samples(region.num_timesteps)
+    train_idx, val_idx = contiguous_split(
+        n_samples, ad.train_fraction, ad.max_samples
+    )
+    if len(train_idx) == 0 or len(val_idx) == 0:
+        raise ValueError(
+            f"region {region_name}: {n_samples} windows cannot be split "
+            f"{ad.train_fraction:.0%}/{1 - ad.train_fraction:.0%}"
+        )
+    log_cb(
+        f"[adapt:{region_name}] {len(train_idx)} train / {len(val_idx)} val "
+        f"windows, {graph.num_nodes} nodes (padded {graph.padded_nodes}), "
+        f"climate zone {climate_zone(region_name)}"
+    )
+
+    # Quirk 6 compat: reference adapts with koppen_code=0 (padding index).
+    koppen = jnp.int32(
+        0 if cfg.compat.koppen_zero_in_adapt else max(region.koppen_code, 0)
+    )
+    a_hat = jnp.asarray(graph.a_hat)
+    node_mask = jnp.asarray(graph.node_mask)
+
+    tx, lr0 = adaptation_optimizer(region_name, ad.base_lr, ad.clip_norm)
+    schedule = ClimateLRSchedule(region_name, base_lr=lr0)
+    run_epoch = make_epoch_runner(model_cfg, tx, spec)
+    run_eval = make_batched_eval(model_cfg, spec)
+
+    state = SupervisedState(params=params, opt_state=tx.init(params))
+    np_rng = np.random.default_rng(ad.seed)
+    jsonl = JsonlLogger(os.path.join(out_dir, "adapt", f"{region_name}.jsonl"))
+
+    epoch_losses: list[float] = []
+    lr = schedule.step(None)
+    for epoch in range(ad.epochs):
+        batches = _batch_anchors(
+            spec.window + train_idx, ad.batch_size, shuffle=ad.shuffle, rng=np_rng
+        )
+        state, losses = run_epoch(
+            state,
+            features,
+            jnp.asarray(batches),
+            a_hat,
+            node_mask,
+            koppen,
+            jnp.float32(lr),
+            jax.random.fold_in(jax.random.key(ad.seed + 7), epoch),
+        )
+        avg = float(np.asarray(losses).mean())
+        epoch_losses.append(avg)
+        jsonl.log({"epoch": epoch + 1, "loss": avg, "lr": lr})
+        log_cb(
+            f"[adapt:{region_name}] epoch {epoch + 1}/{ad.epochs} "
+            f"loss {avg:.6f} lr {lr:.6f}"
+        )
+        lr = schedule.step(avg)
+
+    val_batches = _batch_anchors(
+        spec.window + val_idx, ad.batch_size, shuffle=False, rng=np_rng
+    )
+    val_mse = float(
+        run_eval(state.params, features, jnp.asarray(val_batches), a_hat, node_mask, koppen)
+    )
+    log_cb(f"[adapt:{region_name}] validation MSE {val_mse:.6f}")
+
+    path = adapted_ckpt_path(out_dir, region_name, box)
+    save_checkpoint(
+        path,
+        {"params": state.params},
+        {
+            "schema": "wfstgcn-adapted-v1",
+            "model_version": "tpu-1.0",
+            "region": list(box),
+            "region_name": region_name,
+            "climate_zone": climate_zone(region_name),
+            "koppen_code": int(region.koppen_code),
+            "stats": stats.to_dict(),
+            "val_mse": val_mse,
+            "epoch_losses": epoch_losses,
+            "base_checkpoint": os.path.abspath(meta_ckpt),
+            "config": to_dict(cfg),
+        },
+    )
+    log_cb(f"[adapt:{region_name}] saved {path}")
+    return AdaptResult(
+        ckpt_path=path,
+        val_mse=val_mse,
+        epoch_losses=epoch_losses,
+        region_name=region_name,
+    )

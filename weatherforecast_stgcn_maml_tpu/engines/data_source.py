@@ -1,0 +1,40 @@
+"""Region data resolution: ERA5 when configured, synthetic otherwise.
+
+The reference hardwires a local ERA5 mirror (dataLoader.py:7). Here the data
+backend is chosen by configuration: a real ERA5 root (NetCDF via the gated
+xarray loader, NPZ-cached) or the deterministic synthetic generator — so
+every engine runs end-to-end on any machine, including netCDF-less TPU
+images and CI.
+"""
+
+from __future__ import annotations
+
+from weatherforecast_stgcn_maml_tpu.config import DataConfig
+from weatherforecast_stgcn_maml_tpu.data.region import RegionData
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+
+
+def get_region_data(
+    box: tuple[float, float, float, float],
+    years,
+    cfg: DataConfig,
+    *,
+    strict: bool = False,
+    tag: str = "",
+    name: str = "",
+    num_timesteps: int | None = None,
+) -> RegionData:
+    """Load one region for the given years from the configured backend."""
+    if cfg.root:
+        from weatherforecast_stgcn_maml_tpu.data.era5 import load_region_cached
+
+        return load_region_cached(
+            box, years, cfg, strict=strict, tag=tag or "-".join(years), name=name
+        )
+    t = num_timesteps or cfg.synthetic_timesteps
+    # Seed differs by (box, tag) so train/adapt/validate years yield
+    # different-but-deterministic data, like distinct ERA5 year ranges.
+    seed = abs(hash((box, tag))) % (2**31)
+    return synthetic_region_for_box(
+        box, num_timesteps=t, seed=seed, name=name or f"synthetic{box}"
+    )

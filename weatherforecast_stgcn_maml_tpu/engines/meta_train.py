@@ -1,0 +1,216 @@
+"""Meta-training engine — the TPU-native train_hybrid_maml_v5.py.
+
+Workflow parity with the reference driver (train_hybrid_maml_v5.py:187-383):
+build region tasks, run `num_epochs` meta-epochs of difficulty-sampled task
+batches, step the warm-restart schedule, append the CSV log, keep best/final
+checkpoints. Differences by design:
+
+  * the meta step is ONE compiled program per epoch (inner scans + task vmap
+    + grad-accum scan), optionally dp-sharded over a device mesh;
+  * per-task query losses feed the difficulty sampler (fixing SURVEY quirk 3);
+  * a `last` checkpoint with optimizer + sampler state enables true mid-run
+    resume (the reference saves optimizer state but never reloads it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.config import (
+    ExperimentConfig,
+    META_TRAIN_REGIONS,
+    to_dict,
+)
+from weatherforecast_stgcn_maml_tpu.data.region import RegionData
+from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
+from weatherforecast_stgcn_maml_tpu.models.hybrid import hybrid_param_count
+from weatherforecast_stgcn_maml_tpu.train.maml import (
+    MamlState,
+    init_meta_state,
+    make_jit_meta_step,
+)
+from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
+from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from weatherforecast_stgcn_maml_tpu.utils.metrics import CsvLogger, JsonlLogger
+from weatherforecast_stgcn_maml_tpu.utils.profiling import Timer, block_until_ready
+
+
+@dataclass
+class MetaTrainResult:
+    best_loss: float
+    final_loss: float
+    best_path: str
+    final_path: str
+    epochs_run: int
+    param_count: int
+
+
+def _load_regions(cfg: ExperimentConfig) -> list[RegionData]:
+    regions = []
+    for i, box in enumerate(META_TRAIN_REGIONS):
+        try:
+            regions.append(
+                get_region_data(
+                    box, cfg.data.train_years, cfg.data,
+                    tag="train", name=f"region{i}",
+                )
+            )
+        except Exception as e:  # per-task isolation (train_hybrid_maml_v5.py:225-231)
+            print(f"[meta-train] skipping region {box}: {e}")
+    return regions
+
+
+def run_meta_training(
+    cfg: ExperimentConfig,
+    regions: list[RegionData] | None = None,
+    *,
+    mesh=None,
+    resume: bool = False,
+    log_cb=print,
+) -> MetaTrainResult:
+    out_dir = os.path.join(cfg.out_dir, "meta")
+    os.makedirs(out_dir, exist_ok=True)
+    model_cfg, meta_cfg = cfg.model, cfg.meta
+
+    if regions is None:
+        regions = _load_regions(cfg)
+    if not regions:
+        raise RuntimeError("no meta-training regions could be loaded")
+
+    timer = Timer()
+    with timer.span("task_build"):
+        built = build_meta_tasks(regions, model_cfg, meta_cfg, cfg.data)
+    log_cb(
+        f"[meta-train] {len(built)} tasks, padded nodes="
+        f"{built[0].graph.padded_nodes}"
+    )
+
+    state = init_meta_state(jax.random.key(meta_cfg.seed), model_cfg, meta_cfg)
+    params_n = hybrid_param_count(state.params)
+    log_cb(f"[meta-train] hybrid model: {params_n:,} parameters")
+
+    if mesh is not None:
+        from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+            make_parallel_meta_step,
+        )
+
+        meta_step = make_parallel_meta_step(model_cfg, meta_cfg, mesh)
+    else:
+        meta_step = make_jit_meta_step(model_cfg, meta_cfg)
+
+    sampler = DifficultySampler(
+        len(built), meta_cfg.meta_batch, ema=meta_cfg.difficulty_ema,
+        seed=meta_cfg.seed,
+    )
+    csv = CsvLogger(
+        os.path.join(out_dir, "meta_log.csv"),
+        ["epoch", "meta_loss", "learning_rate"],
+    )
+    jsonl = JsonlLogger(os.path.join(out_dir, "meta_log.jsonl"))
+
+    best_path = os.path.join(out_dir, "ckpt_best")
+    final_path = os.path.join(out_dir, "ckpt_final")
+    last_path = os.path.join(out_dir, "ckpt_last")
+
+    start_epoch, best_loss = 0, float("inf")
+    if resume and checkpoint_exists(last_path):
+        arrays, meta = load_checkpoint(
+            last_path, like={"params": state.params, "opt_state": state.opt_state}
+        )
+        state = MamlState(
+            params=arrays["params"],
+            opt_state=arrays["opt_state"],
+            step=np.int32(meta["step"]),
+        )
+        sampler.difficulty = np.asarray(meta["sampler_difficulty"], np.float64)
+        sampler.seen = np.asarray(meta["sampler_seen"], bool)
+        start_epoch = int(meta["epoch"]) + 1
+        best_loss = float(meta["best_loss"])
+        log_cb(f"[meta-train] resumed at epoch {start_epoch} (best {best_loss:.4f})")
+
+    def ckpt_meta(epoch, loss):
+        return {
+            "schema": "wfstgcn-meta-v1",
+            "model_version": "tpu-1.0",
+            "epoch": epoch,
+            "step": int(state.step),
+            "meta_loss": loss,
+            "best_loss": best_loss,
+            "total_params": params_n,
+            "config": to_dict(cfg),
+            "sampler_difficulty": sampler.difficulty.tolist(),
+            "sampler_seen": sampler.seen.tolist(),
+        }
+
+    loss = float("nan")
+    for epoch in range(start_epoch, meta_cfg.num_epochs):
+        t0 = time.perf_counter()
+        idx = sampler.sample()
+        tasks = stack_tasks([built[i].task for i in idx])
+        state, metrics = meta_step(
+            state, jax.tree.map(np.asarray, tasks),
+            jax.random.fold_in(jax.random.key(meta_cfg.seed + 1), epoch),
+        )
+        block_until_ready(metrics["meta_loss"])
+        per_task = np.asarray(metrics["per_task_loss"])
+        sampler.update(idx, per_task)
+        loss = float(metrics["meta_loss"])
+        lr = float(metrics["learning_rate"])
+        dt = time.perf_counter() - t0
+
+        csv.log(epoch=epoch + 1, meta_loss=loss, learning_rate=lr)
+        jsonl.log(
+            {
+                "epoch": epoch + 1,
+                "meta_loss": loss,
+                "learning_rate": lr,
+                "per_task_loss": per_task.tolist(),
+                "task_indices": np.asarray(idx).tolist(),
+                "epoch_seconds": dt,
+            }
+        )
+        log_cb(
+            f"[meta-train] epoch {epoch + 1}/{meta_cfg.num_epochs} "
+            f"loss {loss:.4f} lr {lr:.6f} ({dt:.2f}s)"
+        )
+
+        if loss < best_loss:
+            best_loss = loss
+            save_checkpoint(
+                best_path,
+                {"params": state.params, "opt_state": state.opt_state},
+                ckpt_meta(epoch, loss),
+            )
+        save_checkpoint(
+            last_path,
+            {"params": state.params, "opt_state": state.opt_state},
+            ckpt_meta(epoch, loss),
+        )
+
+    save_checkpoint(
+        final_path,
+        {"params": state.params, "opt_state": state.opt_state},
+        ckpt_meta(meta_cfg.num_epochs - 1, loss),
+    )
+    log_cb(
+        f"[meta-train] done: best {best_loss:.4f}; "
+        f"spans {timer.summary()}"
+    )
+    return MetaTrainResult(
+        best_loss=best_loss,
+        final_loss=loss,
+        best_path=best_path,
+        final_path=final_path,
+        epochs_run=meta_cfg.num_epochs - start_epoch,
+        param_count=params_n,
+    )

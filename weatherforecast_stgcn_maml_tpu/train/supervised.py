@@ -10,12 +10,14 @@ recompile.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, slice_window
 from weatherforecast_stgcn_maml_tpu.models.hybrid import apply_hybrid
 from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
 
@@ -78,6 +80,62 @@ def make_eval_step(model_cfg: ModelConfig):
         return masked_mse(preds, y, node_mask)
 
     return eval_step
+
+
+def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
+    """Build a fully-compiled training epoch.
+
+    `run_epoch(state, features, anchor_batches, a_hat, node_mask, koppen,
+    lr, rng) -> (state, batch_losses)` scans over `[nb, B]` anchor batches,
+    gathering each window batch from the HBM-resident `[T, N, C]` feature
+    tensor inside the scan — one device program per epoch, zero host
+    round-trips (the reference dispatches ~960 host-built batches per epoch,
+    adapt_hybrid_v5.py:189-203).
+    """
+
+    def loss_fn(params, features, anchors, a_hat, node_mask, koppen, rng):
+        x, y = jax.vmap(lambda a: slice_window(features, a, spec))(anchors)
+        preds = batched_forward(
+            params, a_hat, x, koppen, model_cfg, train=True, rng=rng
+        )
+        return masked_mse(preds, y, node_mask)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_epoch(state, features, anchor_batches, a_hat, node_mask, koppen, lr, rng):
+        def body(carry, inp):
+            st = carry
+            anchors, step_rng = inp
+            loss, grads = jax.value_and_grad(loss_fn)(
+                st.params, features, anchors, a_hat, node_mask, koppen, step_rng
+            )
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = jax.tree.map(lambda p, u: p - lr * u, st.params, updates)
+            return SupervisedState(params, opt_state), loss
+
+        nb = anchor_batches.shape[0]
+        rngs = jax.random.split(rng, nb)
+        state, losses = jax.lax.scan(body, state, (anchor_batches, rngs))
+        return state, losses
+
+    return run_epoch
+
+
+def make_batched_eval(model_cfg: ModelConfig, spec: WindowSpec):
+    """Compiled evaluation over `[nb, B]` anchor batches -> mean MSE."""
+
+    @jax.jit
+    def run_eval(params, features, anchor_batches, a_hat, node_mask, koppen):
+        def body(_, anchors):
+            x, y = jax.vmap(lambda a: slice_window(features, a, spec))(anchors)
+            preds = batched_forward(
+                params, a_hat, x, koppen, model_cfg, train=False, rng=None
+            )
+            return None, masked_mse(preds, y, node_mask)
+
+        _, losses = jax.lax.scan(body, None, anchor_batches)
+        return losses.mean()
+
+    return run_eval
 
 
 def make_predict(model_cfg: ModelConfig):

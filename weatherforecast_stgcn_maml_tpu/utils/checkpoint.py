@@ -1,0 +1,91 @@
+"""Checkpointing: Orbax for array trees + JSON sidecar for metadata.
+
+Carries the same logical schema as the reference's torch.save dicts
+(train_hybrid_maml_v5.py:311-335: model + Koppen + optimizer + scheduler
+state + epoch + loss + architecture config; adapt_hybrid_v5.py:240-257 adds
+region metadata + normalization stats) — and, unlike the reference, supports
+true mid-run resume (optimizer state and epoch are reloaded, SURVEY.md
+section 5 checkpoint/resume gap).
+
+Layout of a checkpoint directory:
+  <dir>/arrays/   Orbax pytree (params, opt_state, any array state)
+  <dir>/meta.json metadata: config dict, norm stats, epoch, losses, tags
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+
+
+def _to_jsonable(x):
+    if isinstance(x, dict):
+        return {k: _to_jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_to_jsonable(v) for v in x]
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.floating, np.integer)):
+        return x.item()
+    return x
+
+
+def save_checkpoint(path: str, arrays, meta: dict | None = None) -> str:
+    """Save `arrays` (any pytree of jax/numpy arrays) + JSON `meta`.
+
+    Overwrites an existing checkpoint at `path` atomically-ish (write to a
+    sibling tmp dir, then swap).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(tmp, "arrays"), jax.tree.map(np.asarray, arrays))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(_to_jsonable(meta or {}), f, indent=2)
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, like=None):
+    """Load (arrays, meta) from `path`.
+
+    `like` optionally provides a template pytree so arrays restore with the
+    exact structure/dtypes (recommended for opt_state trees). A `like`
+    covering only a subtree of what was saved (e.g. params without
+    opt_state) restores just that subtree.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is not None:
+            from orbax.checkpoint import args as ocp_args
+
+            arrays = ckptr.restore(
+                os.path.join(path, "arrays"),
+                ocp_args.PyTreeRestore(
+                    item=jax.tree.map(np.asarray, like), partial_restore=True
+                ),
+            )
+        else:
+            arrays = ckptr.restore(os.path.join(path, "arrays"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return arrays, meta
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "meta.json"))

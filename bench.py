@@ -1,0 +1,211 @@
+"""Benchmark harness — MAML meta-training throughput at reference scale.
+
+Headline metric (BASELINE.json): MAML meta-steps/sec, where one meta step is
+one full reference meta-epoch workload — 4 tasks x (6 inner epochs x 15
+support batches + 1 query batch) with grad-accum-2 AdamW outer updates — on
+the reference architecture (441-node region padded to 512, window 24 ->
+horizon 8, GCN hidden 256, LSTM 128x4, ~860K params).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline` compares against the measured PyTorch reference-equivalent
+workload (benchmarks/baseline_torch.json; re-measure with --baseline). The
+reference itself publishes no numbers (BASELINE.md), and the only torch
+device in this image is the host CPU — the baseline JSON records exactly
+what was measured and how.
+
+Extra modes (details go to stderr / side files, never the JSON line):
+  --baseline    re-measure the torch baseline and rewrite the JSON
+  --kernels     compare Pallas fused GCN vs XLA on this backend
+  --quick       tiny shapes (smoke test)
+  --dtype bf16  run the bench with bfloat16 compute
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_torch.json")
+
+
+def build_bench_inputs(quick: bool, dtype: str):
+    import jax
+    import numpy as np
+
+    from weatherforecast_stgcn_maml_tpu.config import (
+        DataConfig,
+        MetaConfig,
+        ModelConfig,
+    )
+    from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        init_meta_state,
+        make_jit_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+
+    if quick:
+        model_cfg = ModelConfig(
+            hidden_channels=32, gcn_layers=2, lstm_hidden=16, lstm_layers=2,
+            window=8, horizon=4, compute_dtype=dtype,
+        )
+        meta_cfg = MetaConfig(meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=3)
+        boxes = [(10.0 + i, 10.75 + i, 20.0, 20.75) for i in range(2)]
+        t = 64
+    else:
+        model_cfg = ModelConfig(compute_dtype=dtype)  # reference scale
+        meta_cfg = MetaConfig()  # 4 tasks, 6x15 inner, grad-accum 2
+        # 5-degree boxes at 0.25 deg -> 21x21 = 441 nodes, like the
+        # reference's meta-training regions (BASELINE.md data scale).
+        boxes = [(10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0) for i in range(4)]
+        t = 160  # enough for 15 support + query windows
+
+    regions = [
+        synthetic_region_for_box(b, num_timesteps=t, seed=i)
+        for i, b in enumerate(boxes)
+    ]
+    built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+    tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+    state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+    step = make_jit_meta_step(model_cfg, meta_cfg)
+    return state, step, tasks, built[0].graph
+
+
+def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.utils.profiling import block_until_ready
+
+    state, step, tasks, graph = build_bench_inputs(quick, dtype)
+    _log(
+        f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
+        f"nodes={graph.num_nodes} (padded {graph.padded_nodes}) dtype={dtype}"
+    )
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, tasks, jax.random.key(1))
+    block_until_ready(metrics["meta_loss"])
+    compile_s = time.perf_counter() - t0
+    _log(f"[bench] first step (compile + run): {compile_s:.2f}s")
+
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, tasks, jax.random.key(2 + r))
+        block_until_ready(metrics["meta_loss"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    avg = sum(times) / len(times)
+    _log(f"[bench] steady-state step: best {best * 1e3:.1f}ms avg {avg * 1e3:.1f}ms")
+    return {
+        "meta_steps_per_sec": 1.0 / best,
+        "step_seconds_best": best,
+        "step_seconds_avg": avg,
+        "compile_seconds": compile_s,
+        "meta_loss": float(metrics["meta_loss"]),
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_kernels(dtype: str) -> dict:
+    """Pallas fused GCN vs XLA einsum at bench shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weatherforecast_stgcn_maml_tpu.models.common import resolve_dtype
+    from weatherforecast_stgcn_maml_tpu.models.gcn import apply_gcn_layer, init_gcn_layer
+    from weatherforecast_stgcn_maml_tpu.ops.fused_gcn import fused_gcn_layer
+
+    n, c_in, c_out, w = 512, 256, 256, 24
+    key = jax.random.key(0)
+    p = init_gcn_layer(key, c_in, c_out)
+    a = jnp.asarray(np.random.default_rng(0).uniform(size=(n, n)), jnp.float32)
+    h = jnp.asarray(np.random.default_rng(1).normal(size=(w, n, c_in)), jnp.float32)
+    dt = resolve_dtype(dtype)
+
+    xla = jax.jit(lambda a, h: jax.nn.relu(apply_gcn_layer(p, a, h, compute_dtype=dt)))
+    pls = jax.jit(lambda a, h: fused_gcn_layer(p, a, h, compute_dtype=dt))
+
+    out = {}
+    for name, fn in [("xla", xla), ("pallas", pls)]:
+        try:
+            r = fn(a, h)
+            r.block_until_ready()
+            times = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                fn(a, h).block_until_ready()
+                times.append(time.perf_counter() - t0)
+            out[name + "_us"] = min(times) * 1e6
+        except Exception as e:  # pallas unavailable off-TPU
+            out[name + "_error"] = f"{type(e).__name__}: {e}"
+    if "xla_us" in out and "pallas_us" in out:
+        out["pallas_speedup"] = out["xla_us"] / out["pallas_us"]
+        ref = xla(a, h)
+        got = pls(a, h)
+        out["max_abs_diff"] = float(jnp.max(jnp.abs(ref - got)))
+    _log(f"[bench] kernels: {out}")
+    return out
+
+
+def load_or_measure_baseline(remeasure: bool) -> dict:
+    if not remeasure and os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            return json.load(f)
+    _log("[bench] measuring torch reference-equivalent baseline on CPU ...")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from torch_reference_workload import measure
+
+    result = measure()
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--baseline", action="store_true", help="re-measure torch baseline")
+    ap.add_argument("--kernels", action="store_true", help="also compare pallas vs xla")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    baseline = load_or_measure_baseline(args.baseline)
+    result = bench_meta(args.quick, args.dtype, args.reps)
+    details = {"bench": result, "baseline": baseline}
+    if args.kernels:
+        details["kernels"] = bench_kernels(args.dtype)
+
+    out_path = os.path.join(os.path.dirname(__file__), "benchmarks", "last_run.json")
+    with open(out_path, "w") as f:
+        json.dump(details, f, indent=2)
+
+    value = result["meta_steps_per_sec"]
+    vs = value / baseline["meta_steps_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "maml_meta_steps_per_sec",
+                "value": round(value, 4),
+                "unit": "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, ~860K-param hybrid)",
+                "vs_baseline": round(vs, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

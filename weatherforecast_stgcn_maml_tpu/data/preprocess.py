@@ -94,15 +94,28 @@ def prepare_features(
     validation path must normalize with the stats saved at adaptation time,
     validate_hybrid_v5.py:167-171); otherwise new stats are computed.
     """
-    weather = fill_nans_with_mean(region.weather.astype(np.float32))
-    t, la, lo, c = weather.shape
+    from weatherforecast_stgcn_maml_tpu import native
+
+    t, la, lo, c = region.weather.shape
     assert c == NUM_WEATHER_VARS
-    nodes = weather.reshape(t, la * lo, c)
+    # Fresh C-contiguous copy: the native path fills/normalizes in place and
+    # must never mutate the caller's RegionData.
+    nodes = np.array(
+        region.weather.reshape(t, la * lo, c), dtype=np.float32, order="C"
+    )
+
+    fused = native.nan_fill_stats_native(nodes)  # in-place NaN fill
+    if fused is None:
+        nodes = fill_nans_with_mean(nodes)
 
     if normalize:
         if stats is None:
-            stats = compute_stats(nodes)
-        nodes = (nodes - stats.mean) / stats.std
+            if fused is not None:
+                stats = NormStats(mean=fused[0], std=fused[1])
+            else:
+                stats = compute_stats(nodes)
+        if not native.normalize_native(nodes, stats.mean, stats.std):
+            nodes = (nodes - stats.mean) / stats.std
     elif stats is None:
         stats = NormStats(
             mean=np.zeros(c, dtype=np.float32), std=np.ones(c, dtype=np.float32)

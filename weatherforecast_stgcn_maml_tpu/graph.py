@@ -49,6 +49,11 @@ def knn_edges(positions: np.ndarray, k: int = 4) -> np.ndarray:
     n = pos.shape[0]
     if k >= n:
         raise ValueError(f"k_neighbors={k} must be < num_nodes={n}")
+    from weatherforecast_stgcn_maml_tpu import native
+
+    native_edges = native.knn_edges_native(pos, k)
+    if native_edges is not None:
+        return native_edges
     # Pairwise squared distances; N is small (hundreds) so O(N^2) is fine.
     d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
     np.fill_diagonal(d2, np.inf)
@@ -84,6 +89,12 @@ def normalized_adjacency(
     size = pad_to if pad_to is not None else n
     if size < n:
         raise ValueError(f"pad_to={size} < num_nodes={n}")
+    if add_self_loops and dtype == np.float32:
+        from weatherforecast_stgcn_maml_tpu import native
+
+        a_native = native.normalized_adjacency_native(np.asarray(edges), n, size)
+        if a_native is not None:
+            return a_native
     a = np.zeros((size, size), dtype=np.float64)
     if len(edges):
         e = np.asarray(edges)

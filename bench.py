@@ -117,8 +117,13 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     }
 
 
-def bench_kernels(dtype: str) -> dict:
-    """Pallas fused GCN vs XLA einsum at bench shapes."""
+def bench_kernels(dtype: str, inner_iters: int = 100) -> dict:
+    """Pallas fused GCN vs XLA einsum at bench shapes.
+
+    Each timed dispatch runs `inner_iters` chained layer applications inside
+    one jitted `lax.scan`, so per-call dispatch latency (substantial through
+    the axon TPU tunnel) is amortized out of the per-layer number.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,27 +139,44 @@ def bench_kernels(dtype: str) -> dict:
     h = jnp.asarray(np.random.default_rng(1).normal(size=(w, n, c_in)), jnp.float32)
     dt = resolve_dtype(dtype)
 
-    xla = jax.jit(lambda a, h: jax.nn.relu(apply_gcn_layer(p, a, h, compute_dtype=dt)))
-    pls = jax.jit(lambda a, h: fused_gcn_layer(p, a, h, compute_dtype=dt))
+    def repeat(layer_fn):
+        @jax.jit
+        def run(a, h):
+            def body(carry, _):
+                out = layer_fn(a, carry)
+                # Renormalize so 100 chained ReLU layers neither explode
+                # nor collapse to zero (keeps the compute honest).
+                out = out / (jnp.max(jnp.abs(out)) + 1e-6)
+                return out, ()
 
-    out = {}
-    for name, fn in [("xla", xla), ("pallas", pls)]:
+            final, _ = jax.lax.scan(body, h, None, length=inner_iters)
+            return final
+
+        return run
+
+    xla_layer = lambda a, h: jax.nn.relu(apply_gcn_layer(p, a, h, compute_dtype=dt))
+    pls_layer = lambda a, h: fused_gcn_layer(p, a, h, compute_dtype=dt)
+
+    out = {"inner_iters": inner_iters}
+    for name, fn in [("xla", repeat(xla_layer)), ("pallas", repeat(pls_layer))]:
         try:
-            r = fn(a, h)
-            r.block_until_ready()
+            fn(a, h).block_until_ready()
             times = []
-            for _ in range(20):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 fn(a, h).block_until_ready()
                 times.append(time.perf_counter() - t0)
-            out[name + "_us"] = min(times) * 1e6
+            out[name + "_us_per_layer"] = min(times) / inner_iters * 1e6
         except Exception as e:  # pallas unavailable off-TPU
             out[name + "_error"] = f"{type(e).__name__}: {e}"
-    if "xla_us" in out and "pallas_us" in out:
-        out["pallas_speedup"] = out["xla_us"] / out["pallas_us"]
-        ref = xla(a, h)
-        got = pls(a, h)
+    if "xla_us_per_layer" in out and "pallas_us_per_layer" in out:
+        out["pallas_speedup"] = out["xla_us_per_layer"] / out["pallas_us_per_layer"]
+        ref = xla_layer(a, h)
+        got = pls_layer(a, h)
         out["max_abs_diff"] = float(jnp.max(jnp.abs(ref - got)))
+        flops = 2 * w * (n * c_in * c_out + n * n * c_out)
+        out["xla_gflops"] = flops / (out["xla_us_per_layer"] * 1e-6) / 1e9
+        out["pallas_gflops"] = flops / (out["pallas_us_per_layer"] * 1e-6) / 1e9
     _log(f"[bench] kernels: {out}")
     return out
 

@@ -72,10 +72,10 @@ def _lstm_layer(
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (
-        jnp.zeros((b, hidden), x_proj.dtype),
-        jnp.zeros((b, hidden), x_proj.dtype),
-    )
+    # Derive the zero carry from x_proj (not fresh jnp.zeros) so its dtype
+    # AND its device-varying type match under shard_map'd node sharding.
+    zero = x_proj[0, :, :hidden] * 0.0
+    init = (zero, zero)
     (_, _), outputs = jax.lax.scan(step, init, x_proj)
     return outputs
 

@@ -1,0 +1,117 @@
+"""Spatial (node-axis) model parallelism via shard_map.
+
+The per-region grids of the reference are tiny (~441 nodes), but the node
+axis is this workload's big dimension: continental/global grids at 0.25
+degrees reach 1M+ nodes, far beyond one chip's HBM at hidden width 256.
+SURVEY.md §5 (long-context note) prescribes sharding the *node* dimension —
+the spatial analog of sequence parallelism. This module implements it with
+`jax.shard_map` and explicit ICI collectives:
+
+  * node features `[W, N, C]` are sharded along N; every dense layer,
+    LSTM step, and head matmul is node-local (zero communication);
+  * graph convolution needs neighbor features: each device holds its row
+    block `[N/d, N]` of the normalized adjacency, `all_gather`s the
+    feature-transformed activations `H @ W` (the only communication, one
+    all-gather per GCN layer riding ICI), then contracts locally;
+  * the masked loss ends with one `psum`.
+
+The all-gather moves `[W, N, hidden]` per layer; with the feature transform
+applied *before* gathering, that is the minimal tensor that any node-sharded
+GCN must exchange.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype, apply_dense, resolve_dtype
+from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm
+
+
+def _spatial_encoder(params, a_rows, h_local, cfg: ModelConfig, axis: str):
+    """GCN stack with node-sharded activations.
+
+    Args:
+      a_rows: [N/d, N] this device's row block of the padded adjacency.
+      h_local: [W, N/d, C_in] this device's node shard.
+    Returns [W, N/d, hidden].
+    """
+    dtype = resolve_dtype(cfg.compute_dtype)
+    acc = accum_dtype(dtype)
+    h = h_local
+    for layer in params["layers"]:
+        w = layer["w"].astype(dtype)
+        hw_local = jnp.dot(h.astype(dtype), w, preferred_element_type=acc)
+        # One all-gather per layer: [W, N/d, C_out] -> [W, N, C_out].
+        hw_full = jax.lax.all_gather(hw_local, axis, axis=1, tiled=True)
+        h = (
+            jnp.einsum(
+                "nm,...mc->...nc",
+                a_rows.astype(dtype),
+                hw_full.astype(dtype),
+                preferred_element_type=acc,
+            )
+            + layer["b"]
+        )
+        h = jax.nn.relu(h)
+    return h
+
+
+def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
+    """Build a node-sharded hybrid forward (inference path).
+
+    Returns `fwd(params, a_hat, x, koppen) -> preds [H, N, 12]` where the
+    node axis of `a_hat` (rows), `x`, and the output are sharded over
+    `axis`. N must be divisible by the mesh size (graph padding guarantees
+    a multiple of 128). Dropout is off — this is the large-grid serving
+    path; training at this scale would add rng plumbing per shard.
+    """
+
+    def local_fwd(params, a_rows, x_local, koppen):
+        w, n_local, _ = x_local.shape
+        emb = params["koppen"][koppen]
+        emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
+        h = jnp.concatenate([x_local, emb.astype(x_local.dtype)], axis=-1)
+        h = _spatial_encoder(params["encoder"], a_rows, h, model_cfg, axis)
+        h = jnp.swapaxes(h, 0, 1)  # [N/d, W, hidden] — nodes stay local
+        feat = apply_lstm(
+            params["lstm"], h, compute_dtype=resolve_dtype(model_cfg.compute_dtype)
+        )
+        out = apply_dense(
+            params["head"], feat,
+            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
+        )
+        out = out.reshape(n_local, model_cfg.horizon, model_cfg.num_weather_vars)
+        return jnp.swapaxes(out, 0, 1)  # [H, N/d, 12]
+
+    sharded = jax.shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+    )
+    return jax.jit(sharded)
+
+
+def spatial_mse(mesh, axis: str = "sp"):
+    """Node-sharded masked MSE: local partial sums + one psum."""
+
+    def local_mse(preds_local, targets_local, mask_local):
+        se = jnp.square(preds_local - targets_local) * mask_local[:, None]
+        num = jax.lax.psum(se.sum(), axis)
+        cnt = jax.lax.psum(mask_local.sum(), axis)
+        scale = preds_local.shape[0] * preds_local.shape[-1]
+        return num / (jnp.maximum(cnt, 1.0) * scale)
+
+    fn = jax.shard_map(
+        local_mse,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None), P(axis)),
+        out_specs=P(),
+    )
+    return jax.jit(fn)

@@ -201,7 +201,7 @@ def main(argv=None) -> int:
     ap.add_argument("--baseline", action="store_true", help="re-measure torch baseline")
     ap.add_argument("--kernels", action="store_true", help="also compare pallas vs xla")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args(argv)
 
     baseline = load_or_measure_baseline(args.baseline)

@@ -88,6 +88,37 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--no-plots", action="store_true")
     _add_common(pl)
 
+    fc = sub.add_parser("forecast", help="emit denormalized forecasts for a region")
+    fc.add_argument("--region", help="named region (see `info`)")
+    fc.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    fc.add_argument("--name")
+    fc.add_argument("--plots", action="store_true")
+    _add_common(fc)
+
+    imp = sub.add_parser(
+        "import-checkpoint",
+        help="convert a reference PyTorch .pt checkpoint into this framework",
+    )
+    imp.add_argument("path", help="reference .pt checkpoint")
+    imp.add_argument("--out", help="output checkpoint dir (default: out/meta/ckpt_best)")
+    _add_common(imp)
+
+    dr = sub.add_parser(
+        "data-report",
+        help="NaN percentages, normalization stats, and graph info for a region",
+    )
+    dr.add_argument("--region", help="named region (see `info`)")
+    dr.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    dr.add_argument("--name")
+    dr.add_argument(
+        "--years", default="train", choices=["train", "adapt", "validate"]
+    )
+    _add_common(dr)
+
     info = sub.add_parser("info", help="print config, regions, and devices")
     _add_common(info)
 
@@ -140,6 +171,82 @@ def main(argv=None) -> int:
         box, name = _resolve_region(args)
         res = run_validation(cfg, box, name, make_plots=not args.no_plots)
         print(json.dumps(res.results, indent=2))
+        return 0
+
+    if args.command == "forecast":
+        from weatherforecast_stgcn_maml_tpu.engines.forecast import run_forecast
+
+        box, name = _resolve_region(args)
+        res = run_forecast(cfg, box, name, make_plots=args.plots)
+        print(f"forecast={res.artifact_path} ({res.model_kind} model)")
+        return 0
+
+    if args.command == "import-checkpoint":
+        from weatherforecast_stgcn_maml_tpu.config import to_dict as cfg_to_dict
+        from weatherforecast_stgcn_maml_tpu.utils.checkpoint import save_checkpoint
+        from weatherforecast_stgcn_maml_tpu.utils.torch_import import (
+            import_torch_checkpoint,
+        )
+
+        params, model_cfg, stats, meta = import_torch_checkpoint(args.path)
+        out = args.out or f"{cfg.out_dir}/meta/ckpt_best"
+        save_checkpoint(
+            out,
+            {"params": params},
+            {
+                "schema": "wfstgcn-meta-v1",
+                "model_version": str(meta.get("model_version", "imported")),
+                "imported_from": args.path,
+                "epoch": int(meta.get("epoch", -1)),
+                "stats": stats.to_dict() if stats is not None else None,
+                "config": {
+                    **cfg_to_dict(cfg),
+                    "model": cfg_to_dict(model_cfg),
+                },
+            },
+        )
+        print(f"imported {args.path} -> {out}")
+        print(f"model config: {model_cfg}")
+        return 0
+
+    if args.command == "data-report":
+        import numpy as np
+
+        from weatherforecast_stgcn_maml_tpu.data.koppen import class_name
+        from weatherforecast_stgcn_maml_tpu.data.preprocess import (
+            compute_stats,
+            nan_percentages,
+        )
+        from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
+        from weatherforecast_stgcn_maml_tpu.config import WEATHER_VARS
+        from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
+
+        box, name = _resolve_region(args)
+        years = {
+            "train": cfg.data.train_years,
+            "adapt": cfg.data.adapt_years,
+            "validate": (cfg.data.validate_year,),
+        }[args.years]
+        region = get_region_data(box, years, cfg.data, tag=args.years, name=name)
+        pct = nan_percentages(region.weather)
+        t, la, lo, _ = region.weather.shape
+        stats = compute_stats(
+            np.nan_to_num(region.weather.reshape(t, la * lo, -1), nan=0.0)
+        )
+        g = build_region_graph(region.lats, region.lons, k_neighbors=cfg.data.k_neighbors)
+        print(f"region {name} {tuple(box)} — {args.years} years {years}")
+        print(
+            f"  {t} timesteps x {la}x{lo} grid = {g.num_nodes} nodes "
+            f"(padded {g.padded_nodes}); koppen {region.koppen_code} "
+            f"({class_name(region.koppen_code)})"
+        )
+        print(f"  {'var':>6} {'nan%':>6} {'mean':>12} {'std':>12}")
+        for i, var in enumerate(WEATHER_VARS):
+            flag = "!!" if pct[i] >= 0.15 else (" !" if pct[i] >= 0.05 else "  ")
+            print(
+                f"  {var:>6} {100 * pct[i]:5.1f}{flag} {stats.mean[i]:12.4g} "
+                f"{stats.std[i]:12.4g}"
+            )
         return 0
 
     if args.command == "pipeline":

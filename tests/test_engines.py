@@ -160,6 +160,38 @@ def test_pipeline_isolates_errors(trained, tmp_path):
     assert pres.validations == {}
 
 
+def test_adapt_frozen_base_leaves_encoder_untouched(trained):
+    """With model.stop_base_gradients, adaptation must not move the encoder
+    at all — including via weight decay (torch requires_grad=False
+    semantics; docs/REFERENCE_SEMANTICS.md #2)."""
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import load_checkpoint
+    from weatherforecast_stgcn_maml_tpu.models.hybrid import init_hybrid
+
+    cfg, res, _ = trained
+    frozen_cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, stop_base_gradients=True),
+        out_dir=cfg.out_dir + "_frozen",
+    )
+    region = synthetic_region_for_box(BOX_A, num_timesteps=48, seed=9, name="A")
+    ares = run_adaptation(
+        frozen_cfg, BOX_A, "Frozen", meta_ckpt=res.best_path, region=region,
+        log_cb=lambda *_: None,
+    )
+    template = init_hybrid(jax.random.key(0), frozen_cfg.model)
+    before, _ = load_checkpoint(res.best_path, like={"params": template})
+    after, _ = load_checkpoint(ares.ckpt_path, like={"params": template})
+    for a, b in zip(
+        jax.tree.leaves(before["params"]["encoder"]),
+        jax.tree.leaves(after["params"]["encoder"]),
+    ):
+        np.testing.assert_array_equal(a, b)
+    # The head DID train.
+    assert not np.allclose(before["params"]["head"]["w"], after["params"]["head"]["w"])
+
+
 def test_cli_info(capsys):
     from weatherforecast_stgcn_maml_tpu.cli import main
 

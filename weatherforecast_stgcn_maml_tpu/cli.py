@@ -135,7 +135,10 @@ def _resolve_region(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg = apply_overrides(ExperimentConfig(), args.override)
+    try:
+        cfg = apply_overrides(ExperimentConfig(), args.override)
+    except (ValueError, AttributeError, TypeError) as e:
+        raise SystemExit(f"bad -o override: {e}") from e
 
     if args.command == "info":
         import jax

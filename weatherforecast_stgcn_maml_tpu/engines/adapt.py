@@ -128,6 +128,14 @@ def run_adaptation(
     node_mask = jnp.asarray(graph.node_mask)
 
     tx, lr0 = adaptation_optimizer(region_name, ad.base_lr, ad.clip_norm)
+    if model_cfg.stop_base_gradients:
+        # Frozen base: exclude the encoder from updates AND weight decay
+        # (torch requires_grad=False semantics; see freeze_base_mask).
+        import optax
+
+        from weatherforecast_stgcn_maml_tpu.train.optimizers import freeze_base_mask
+
+        tx = optax.masked(tx, freeze_base_mask(params))
     schedule = ClimateLRSchedule(region_name, base_lr=lr0)
     run_epoch = make_epoch_runner(model_cfg, tx, spec)
     run_eval = make_batched_eval(model_cfg, spec)

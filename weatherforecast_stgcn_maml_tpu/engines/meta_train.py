@@ -35,7 +35,11 @@ from weatherforecast_stgcn_maml_tpu.train.maml import (
     make_jit_meta_step,
 )
 from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
-from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+from weatherforecast_stgcn_maml_tpu.train.tasks import (
+    build_meta_tasks,
+    select_tasks,
+    stage_tasks,
+)
 from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
@@ -152,13 +156,17 @@ def run_meta_training(
             "sampler_seen": sampler.seen.tolist(),
         }
 
+    # Upload the whole task pool to HBM once; per-epoch batches are cut with
+    # a device-side gather (no host transfer inside the training loop).
+    staged = stage_tasks([b.task for b in built])
+
     loss = float("nan")
     for epoch in range(start_epoch, meta_cfg.num_epochs):
         t0 = time.perf_counter()
         idx = sampler.sample()
-        tasks = stack_tasks([built[i].task for i in idx])
+        tasks = select_tasks(staged, idx)
         state, metrics = meta_step(
-            state, jax.tree.map(np.asarray, tasks),
+            state, tasks,
             jax.random.fold_in(jax.random.key(meta_cfg.seed + 1), epoch),
         )
         block_until_ready(metrics["meta_loss"])

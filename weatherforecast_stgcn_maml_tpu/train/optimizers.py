@@ -138,6 +138,28 @@ class ClimateLRSchedule:
         return float(lr)
 
 
+def freeze_base_mask(params_template) -> dict:
+    """Pytree mask: True for trainable leaves, False for the STGCN encoder.
+
+    The reference "freezes" the base by excluding its params from the
+    optimizer (hybrid_model.py:34-36, :119-124). With `stop_gradient` alone
+    the encoder's grads are zero but decoupled weight decay would still
+    shrink it — so when `model.stop_base_gradients` is set, wrap the
+    optimizer in `optax.masked` with this mask to leave the base untouched,
+    matching torch's requires_grad=False semantics exactly.
+    """
+    import jax
+
+    return {
+        k: (
+            jax.tree.map(lambda _: False, v)
+            if k == "encoder"
+            else jax.tree.map(lambda _: True, v)
+        )
+        for k, v in params_template.items()
+    }
+
+
 def clip_global_norm_tree(grads, max_norm: float):
     """Differentiable global-norm clip matching torch's clip_grad_norm_
     (scale by max_norm / (norm + 1e-6) only when norm > max_norm). Used

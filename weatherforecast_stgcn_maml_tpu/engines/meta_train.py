@@ -199,11 +199,15 @@ def run_meta_training(
                 {"params": state.params, "opt_state": state.opt_state},
                 ckpt_meta(epoch, loss),
             )
-        save_checkpoint(
-            last_path,
-            {"params": state.params, "opt_state": state.opt_state},
-            ckpt_meta(epoch, loss),
-        )
+        if (
+            (epoch + 1) % max(1, meta_cfg.checkpoint_every) == 0
+            or epoch == meta_cfg.num_epochs - 1
+        ):
+            save_checkpoint(
+                last_path,
+                {"params": state.params, "opt_state": state.opt_state},
+                ckpt_meta(epoch, loss),
+            )
 
     save_checkpoint(
         final_path,

@@ -121,3 +121,129 @@ def fused_gcn_layer(params, a_hat, h, *, compute_dtype=jnp.float32):
     Returns [..., N, C_out] float32.
     """
     return _fused(params["w"], params["b"], a_hat, h, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whole-encoder fusion: all GCN layers in ONE kernel, activations resident in
+# VMEM across layers. XLA fuses bias+ReLU into each matmul but still spills
+# the [N, hidden] activation to HBM between layers; here a time slice enters
+# VMEM once and leaves once, with 2L matmuls in between. Backward recomputes
+# through the XLA layer path (jax.vjp), so the stack is usable under grad —
+# though the intended use is the serving/inference path (train-mode dropout
+# between layers forces the per-layer kernel anyway).
+# ---------------------------------------------------------------------------
+
+
+def _xla_stack(weights, biases, a_hat, h, compute_dtype):
+    for w, b in zip(weights, biases):
+        h = jax.nn.relu(
+            apply_gcn_layer({"w": w, "b": b}, a_hat, h, compute_dtype=compute_dtype)
+        )
+    return h
+
+
+def _stack_kernel(a_ref, h_ref, *rest, num_layers, compute_dtype):
+    w_refs = rest[:num_layers]
+    b_refs = rest[num_layers : 2 * num_layers]
+    out_ref = rest[2 * num_layers]
+    a = a_ref[:].astype(compute_dtype)
+    h = h_ref[0].astype(compute_dtype)
+    for l in range(num_layers):
+        w = w_refs[l][:].astype(compute_dtype)
+        hw = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        agg = jnp.dot(a, hw.astype(compute_dtype), preferred_element_type=jnp.float32)
+        h = jnp.maximum(agg + b_refs[l][:], 0.0).astype(compute_dtype)
+    out_ref[0] = h.astype(jnp.float32)
+
+
+def _pallas_stack(weights, biases, a_hat, h, compute_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = h.shape[:-2]
+    n = h.shape[-2]
+    num_layers = len(weights)
+    c_out = weights[-1].shape[-1]
+    hb = h.reshape(-1, n, h.shape[-1])
+    batch = hb.shape[0]
+
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0,) * 2, memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    b2d = [b.reshape(1, -1) for b in biases]
+    b_specs = [
+        pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for b in b2d
+    ]
+    flops = sum(
+        2 * batch * (n * w.shape[0] * w.shape[1] + n * n * w.shape[1])
+        for w in weights
+    )
+    out = pl.pallas_call(
+        partial(_stack_kernel, num_layers=num_layers, compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, n, c_out), jnp.float32),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n, hb.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            *w_specs,
+            *b_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (n * n + batch * n * (hb.shape[-1] + c_out)),
+            transcendentals=0,
+        ),
+    )(a_hat, hb, *weights, *b2d)
+    return out.reshape(*lead, n, c_out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_stack(weights, biases, a_hat, h, compute_dtype):
+    if jax.default_backend() != "tpu":
+        return _xla_stack(weights, biases, a_hat, h, compute_dtype)
+    return _pallas_stack(weights, biases, a_hat, h, compute_dtype)
+
+
+def _fused_stack_fwd(weights, biases, a_hat, h, compute_dtype):
+    return _fused_stack(weights, biases, a_hat, h, compute_dtype), (
+        weights,
+        biases,
+        a_hat,
+        h,
+    )
+
+
+def _fused_stack_bwd(compute_dtype, res, g):
+    weights, biases, a_hat, h = res
+    _, vjp = jax.vjp(
+        lambda ws, bs, hh: _xla_stack(ws, bs, a_hat, hh, compute_dtype),
+        weights,
+        biases,
+        h,
+    )
+    dw, db, dh = vjp(g)
+    return dw, db, jnp.zeros_like(a_hat), dh
+
+
+_fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
+
+
+def fused_gcn_stack(layers, a_hat, h, *, compute_dtype=jnp.float32):
+    """Run a whole GCN layer stack fused in one Pallas kernel.
+
+    Args:
+      layers: list of {"w": [C_in, C_out], "b": [C_out]} (the encoder's
+        params, models/stgcn.py layout).
+      a_hat: [N, N]; h: [..., N, C_in].
+    Returns [..., N, C_out_last] float32.
+    """
+    weights = tuple(l["w"] for l in layers)
+    biases = tuple(l["b"] for l in layers)
+    return _fused_stack(weights, biases, a_hat, h, compute_dtype)

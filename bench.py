@@ -97,6 +97,10 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     block_until_ready(metrics["meta_loss"])
     compile_s = time.perf_counter() - t0
     _log(f"[bench] first step (compile + run): {compile_s:.2f}s")
+    # One extra warmup: the remote-TPU tunnel's first post-compile dispatch
+    # is routinely slow.
+    state, metrics = step(state, tasks, jax.random.key(1))
+    block_until_ready(metrics["meta_loss"])
 
     times = []
     for r in range(reps):
@@ -181,6 +185,154 @@ def bench_kernels(dtype: str, inner_iters: int = 100) -> dict:
     return out
 
 
+def bench_workload_configs(dtype: str) -> dict:
+    """Measure the remaining BASELINE.json workload configs (1, 2, 3, 5).
+
+    1: single-region forward + MSE eval latency;
+    2: single-region supervised fine-tune epoch throughput (adapt path);
+    3: single-task MAML inner loop + one meta-update;
+    5: dp-sharded meta step over a device mesh (skipped on 1 device).
+    Details only — the headline JSON line stays config 4 (full meta step).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weatherforecast_stgcn_maml_tpu.config import (
+        DataConfig,
+        MeshConfig,
+        MetaConfig,
+        ModelConfig,
+    )
+    from weatherforecast_stgcn_maml_tpu.data.preprocess import pad_nodes, prepare_features
+    from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+    from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec
+    from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
+    from weatherforecast_stgcn_maml_tpu.models.hybrid import init_hybrid
+    from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        adapt_and_query_loss,
+        init_meta_state,
+        make_jit_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import adaptation_optimizer
+    from weatherforecast_stgcn_maml_tpu.train.supervised import (
+        SupervisedState,
+        make_epoch_runner,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+    from weatherforecast_stgcn_maml_tpu.utils.profiling import block_until_ready
+
+    model_cfg = ModelConfig(compute_dtype=dtype)
+    meta_cfg = MetaConfig()
+    box = (18.0, 23.0, 75.0, 80.0)  # the India box (config 1's region)
+    region = synthetic_region_for_box(box, num_timesteps=160, seed=0)
+    graph = build_region_graph(region.lats, region.lons)
+    feats_np, _ = prepare_features(region)
+    features = jnp.asarray(pad_nodes(feats_np, graph.padded_nodes))
+    a_hat = jnp.asarray(graph.a_hat)
+    mask = jnp.asarray(graph.node_mask)
+    kop = jnp.int32(8)
+    spec = WindowSpec(model_cfg.window, model_cfg.horizon)
+    params = init_hybrid(jax.random.key(0), model_cfg)
+    out = {}
+
+    def timeit(fn, reps=10):
+        fn()  # warmup/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    # Config 1: forward + MSE eval on one window.
+    from weatherforecast_stgcn_maml_tpu.data.windows import gather_batch
+
+    x1, y1 = gather_batch(features, jnp.asarray([spec.window]), spec)
+
+    @jax.jit
+    def fwd_eval(params, x, y):
+        from weatherforecast_stgcn_maml_tpu.train.supervised import batched_forward
+
+        preds = batched_forward(params, a_hat, x, kop, model_cfg, train=False, rng=None)
+        return masked_mse(preds, y, mask)
+
+    out["forward_eval_us"] = timeit(
+        lambda: fwd_eval(params, x1, y1).block_until_ready()
+    ) * 1e6
+
+    # Config 2: one supervised fine-tune epoch (adapt path), batch 8.
+    tx, _ = adaptation_optimizer("Bench")
+    run_epoch = make_epoch_runner(model_cfg, tx, spec)
+    anchors = spec.window + np.arange(spec.num_samples(region.num_timesteps))
+    nb = len(anchors) // 8
+    batches = jnp.asarray(anchors[: nb * 8].reshape(nb, 8))
+    # run_epoch donates its state: thread one state through the reps (fresh
+    # copies of params so the shared `params` tree is never donated away).
+    sstate = SupervisedState(
+        params=jax.tree.map(jnp.array, params), opt_state=tx.init(params)
+    )
+
+    def one_epoch():
+        nonlocal sstate
+        sstate, losses = run_epoch(
+            sstate, features, batches, a_hat,
+            mask, kop, jnp.float32(5e-4), jax.random.key(1),
+        )
+        block_until_ready(losses)
+
+    epoch_s = timeit(one_epoch, reps=5)
+    out["adapt_epoch_seconds"] = epoch_s
+    out["adapt_samples_per_sec"] = nb * 8 / epoch_s
+
+    # Config 3: single-task inner loop + meta-update.
+    built = build_meta_tasks([region], model_cfg, meta_cfg, DataConfig())
+    task = jax.tree.map(jnp.asarray, built[0].task)
+
+    inner = jax.jit(
+        lambda p, t, r: adapt_and_query_loss(p, t, r, model_cfg, meta_cfg)
+    )
+    out["single_task_inner_ms"] = timeit(
+        lambda: inner(params, task, jax.random.key(2)).block_until_ready()
+    ) * 1e3
+
+    # Config 5: dp-sharded meta step (needs >1 device).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh
+        from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+            make_parallel_meta_step,
+        )
+
+        per = meta_cfg.meta_batch // meta_cfg.grad_accum
+        use = min(n_dev, per)
+        mesh = make_mesh(MeshConfig(num_devices=use))
+        regions = [
+            synthetic_region_for_box(
+                (10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0), num_timesteps=160, seed=i
+            )
+            for i in range(meta_cfg.meta_batch)
+        ]
+        built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+        tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+        state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+        pstep = make_parallel_meta_step(model_cfg, meta_cfg, mesh, donate_state=False)
+
+        def dp_step():
+            _, m = pstep(state, tasks, jax.random.key(3))
+            block_until_ready(m["meta_loss"])
+
+        out["dp_meta_step_ms"] = timeit(dp_step, reps=5) * 1e3
+        out["dp_devices"] = use
+    else:
+        out["dp_meta_step_ms"] = None
+        out["dp_devices"] = 1
+
+    _log(f"[bench] workload configs: {out}")
+    return out
+
+
 def load_or_measure_baseline(remeasure: bool) -> dict:
     if not remeasure and os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -200,6 +352,10 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline", action="store_true", help="re-measure torch baseline")
     ap.add_argument("--kernels", action="store_true", help="also compare pallas vs xla")
+    ap.add_argument(
+        "--all-configs", action="store_true",
+        help="also measure the other BASELINE.json workload configs",
+    )
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args(argv)
@@ -209,6 +365,8 @@ def main(argv=None) -> int:
     details = {"bench": result, "baseline": baseline}
     if args.kernels:
         details["kernels"] = bench_kernels(args.dtype)
+    if args.all_configs:
+        details["workload_configs"] = bench_workload_configs(args.dtype)
 
     out_path = os.path.join(os.path.dirname(__file__), "benchmarks", "last_run.json")
     with open(out_path, "w") as f:
@@ -216,16 +374,21 @@ def main(argv=None) -> int:
 
     value = result["meta_steps_per_sec"]
     vs = value / baseline["meta_steps_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "maml_meta_steps_per_sec",
-                "value": round(value, 4),
-                "unit": "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, ~860K-param hybrid)",
-                "vs_baseline": round(vs, 1),
-            }
-        )
-    )
+    if args.quick:
+        line = {
+            "metric": "maml_meta_steps_per_sec_quick_smoke",
+            "value": round(value, 4),
+            "unit": "meta-steps/s on tiny smoke-test shapes (NOT comparable to baseline)",
+            "vs_baseline": None,
+        }
+    else:
+        line = {
+            "metric": "maml_meta_steps_per_sec",
+            "value": round(value, 4),
+            "unit": "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, ~860K-param hybrid)",
+            "vs_baseline": round(vs, 1),
+        }
+    print(json.dumps(line))
     return 0
 
 

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 from weatherforecast_stgcn_maml_tpu.config import NUM_WEATHER_VARS
 from weatherforecast_stgcn_maml_tpu.data.preprocess import (
     NormStats,
-    compute_stats,
     fill_nans_with_mean,
     nan_percentages,
     pad_nodes,

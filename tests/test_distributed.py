@@ -1,0 +1,75 @@
+"""Multi-host helpers + mesh-path meta-training engine."""
+
+import dataclasses
+
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.config import (
+    AdaptConfig,
+    DataConfig,
+    ExperimentConfig,
+    MeshConfig,
+    MetaConfig,
+    ModelConfig,
+)
+from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+from weatherforecast_stgcn_maml_tpu.engines.meta_train import run_meta_training
+from weatherforecast_stgcn_maml_tpu.parallel.distributed import (
+    global_mesh,
+    initialize,
+)
+from weatherforecast_stgcn_maml_tpu.parallel.fleet import partition_round_robin
+from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh
+
+
+def test_initialize_noop_without_topology(monkeypatch):
+    for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize() is False
+
+
+def test_global_mesh_spans_all_devices():
+    mesh = global_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp",)
+
+
+def test_partition_round_robin():
+    items = list(range(7))
+    parts = [partition_round_robin(items, 3, i) for i in range(3)]
+    assert sorted(sum(parts, [])) == items
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        partition_round_robin(items, 0, 0)
+    with pytest.raises(ValueError):
+        partition_round_robin(items, 3, 3)
+
+
+def test_meta_training_engine_on_mesh(tmp_path):
+    """run_meta_training with a device mesh: tasks shard over dp, losses
+    finite, checkpoints written."""
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            hidden_channels=8, gcn_layers=2, lstm_hidden=8, lstm_layers=1,
+            window=6, horizon=2, koppen_dim=4,
+        ),
+        meta=MetaConfig(
+            num_epochs=2, meta_batch=8, grad_accum=2, inner_epochs=1,
+            inner_batches=2, query_train_mode=False,
+        ),
+        adapt=AdaptConfig(),
+        data=DataConfig(synthetic_timesteps=32),
+        out_dir=str(tmp_path / "out"),
+    )
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.5 + i, 20.0, 20.5), num_timesteps=32, seed=i
+        )
+        for i in range(8)
+    ]
+    mesh = make_mesh(MeshConfig(num_devices=4))
+    res = run_meta_training(cfg, regions, mesh=mesh, log_cb=lambda *_: None)
+    assert np.isfinite(res.best_loss)
+    assert res.epochs_run == 2

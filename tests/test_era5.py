@@ -1,7 +1,6 @@
 """ERA5 NetCDF ingestion logic, exercised against the fake-xarray backend
 (tests/fake_xarray.py) since the image ships no xarray/netCDF4."""
 
-import dataclasses
 import os
 import sys
 

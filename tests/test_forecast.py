@@ -1,8 +1,6 @@
 """Forecast (serving) engine + new CLI subcommands."""
 
-import dataclasses
 import json
-import os
 
 import numpy as np
 import pytest
@@ -88,6 +86,45 @@ def test_cli_forecast_and_data_report(trained, capsys):
     assert main(["data-report", *box_args, "--name", "CliF", *ov]) == 0
     out = capsys.readouterr().out
     assert "t2m" in out and "nodes" in out
+
+
+def test_imported_reference_checkpoint_validates(tmp_path):
+    """Full switch-over path: reference .pt -> import -> run_validation."""
+    torch = pytest.importorskip("torch")
+    from test_torch_import import _reference_state_dicts
+
+    model_cfg = ModelConfig(
+        hidden_channels=8, gcn_layers=2, lstm_hidden=6, lstm_layers=2,
+        window=6, horizon=2, koppen_dim=8,
+    )
+    hybrid, koppen, _ = _reference_state_dicts(model_cfg)
+    pt = str(tmp_path / "ref.pt")
+    torch.save(
+        {
+            "hybrid_model_state_dict": hybrid,
+            "koppen_embed_state_dict": koppen,
+            "config": {
+                "hidden_channels": 8, "window_size": 6, "forecast_horizon": 2,
+            },
+            "hybrid_config": {"lstm_hidden_size": 6, "lstm_num_layers": 2},
+        },
+        pt,
+    )
+    out_dir = str(tmp_path / "out")
+    from weatherforecast_stgcn_maml_tpu.cli import main
+
+    assert main(["import-checkpoint", pt, "-o", f"out_dir={out_dir}"]) == 0
+
+    from weatherforecast_stgcn_maml_tpu.engines.validate import run_validation
+
+    cfg = ExperimentConfig(
+        model=model_cfg,
+        data=DataConfig(synthetic_timesteps=32, validate_max_timesteps=16),
+        out_dir=out_dir,
+    )
+    res = run_validation(cfg, BOX, "Imported", make_plots=False, log_cb=lambda *_: None)
+    assert res.model_kind == "base"
+    assert np.isfinite(res.results["average_mse"])
 
 
 def test_cli_import_checkpoint(tmp_path, capsys):

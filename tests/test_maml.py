@@ -10,18 +10,13 @@ import pytest
 from weatherforecast_stgcn_maml_tpu.config import DataConfig, MetaConfig, ModelConfig
 from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
 from weatherforecast_stgcn_maml_tpu.train.maml import (
-    MamlState,
     adapt_and_query_loss,
     init_meta_state,
     make_jit_meta_step,
 )
 from weatherforecast_stgcn_maml_tpu.train.optimizers import cosine_warm_restarts
 from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
-from weatherforecast_stgcn_maml_tpu.train.tasks import (
-    build_meta_tasks,
-    build_task,
-    stack_tasks,
-)
+from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
 
 MODEL_CFG = ModelConfig(
     hidden_channels=8,

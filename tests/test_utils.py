@@ -3,7 +3,6 @@
 import json
 import os
 
-import jax
 import numpy as np
 
 from weatherforecast_stgcn_maml_tpu.config import WEATHER_VARS

@@ -10,7 +10,7 @@ because the TPU image may not ship netCDF at all.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -29,7 +29,6 @@ mesh and XLA inserts the psum for the gradient mean.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

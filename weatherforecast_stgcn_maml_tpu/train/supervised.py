@@ -14,7 +14,7 @@ from functools import partial
 from typing import Any, NamedTuple
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401  (jnp types in signatures)
 
 from weatherforecast_stgcn_maml_tpu.config import ModelConfig
 from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, slice_window

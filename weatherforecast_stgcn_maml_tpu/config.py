@@ -84,6 +84,10 @@ class ModelConfig:
     (train_hybrid_maml_v5.py:31-38, :191-211).
     """
 
+    # Model family: "hybrid" (STGCN->LSTM, the flagship) or "stgcn" (the
+    # reference's standalone spatial backbone with a last-slice head,
+    # model.py:7-52). Both train through every engine.
+    family: str = "hybrid"
     num_weather_vars: int = NUM_WEATHER_VARS  # model outputs, z-scored
     num_time_vars: int = NUM_TIME_VARS
     koppen_classes: int = 31  # indices 0..30, 0 = padding (embed_utils.py:33)

@@ -28,7 +28,8 @@ from weatherforecast_stgcn_maml_tpu.data.region import RegionData
 from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, contiguous_split
 from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
 from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
-from weatherforecast_stgcn_maml_tpu.models.hybrid import hybrid_param_count, init_hybrid
+from weatherforecast_stgcn_maml_tpu.models.hybrid import hybrid_param_count
+from weatherforecast_stgcn_maml_tpu.models.registry import init_model
 from weatherforecast_stgcn_maml_tpu.train.optimizers import (
     ClimateLRSchedule,
     adaptation_optimizer,
@@ -85,7 +86,7 @@ def run_adaptation(
         meta_ckpt = os.path.join(out_dir, "meta", "ckpt_best")
 
     # Rebuild params from the checkpoint (template-shaped restore).
-    template = init_hybrid(jax.random.key(0), model_cfg)
+    template = init_model(jax.random.key(0), model_cfg)
     arrays, meta = load_checkpoint(meta_ckpt, like={"params": template})
     params = arrays["params"]
     log_cb(

@@ -59,18 +59,33 @@ class MetaTrainResult:
     param_count: int
 
 
-def _load_regions(cfg: ExperimentConfig) -> list[RegionData]:
+def _load_regions(cfg: ExperimentConfig, max_workers: int = 4) -> list[RegionData]:
+    """Load all meta-training regions with a threaded prefetcher.
+
+    ERA5 ingestion is disk/IO-bound (40 NetCDF opens per region on a cold
+    cache, SURVEY 3.5); loading regions concurrently overlaps that I/O and
+    keeps it off the device critical path. Per-region failures are isolated
+    (train_hybrid_maml_v5.py:225-231 semantics).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(i_box):
+        i, box = i_box
+        return get_region_data(
+            box, cfg.data.train_years, cfg.data, tag="train", name=f"region{i}"
+        )
+
     regions = []
-    for i, box in enumerate(META_TRAIN_REGIONS):
-        try:
-            regions.append(
-                get_region_data(
-                    box, cfg.data.train_years, cfg.data,
-                    tag="train", name=f"region{i}",
-                )
-            )
-        except Exception as e:  # per-task isolation (train_hybrid_maml_v5.py:225-231)
-            print(f"[meta-train] skipping region {box}: {e}")
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {
+            pool.submit(load, (i, box)): box
+            for i, box in enumerate(META_TRAIN_REGIONS)
+        }
+        for fut, box in futures.items():
+            try:
+                regions.append(fut.result())
+            except Exception as e:
+                print(f"[meta-train] skipping region {box}: {e}")
     return regions
 
 

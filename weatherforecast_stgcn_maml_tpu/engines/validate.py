@@ -35,7 +35,7 @@ from weatherforecast_stgcn_maml_tpu.engines.adapt import adapted_ckpt_path
 from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
 from weatherforecast_stgcn_maml_tpu.eval.metrics import forecast_table, variable_metrics
 from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
-from weatherforecast_stgcn_maml_tpu.models.hybrid import init_hybrid
+from weatherforecast_stgcn_maml_tpu.models.registry import init_model
 from weatherforecast_stgcn_maml_tpu.train.supervised import make_predict
 from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
     checkpoint_exists,
@@ -54,7 +54,7 @@ class ValidationResult:
 
 def _load_params_and_stats(cfg: ExperimentConfig, box, region_name, log_cb):
     """Adapted checkpoint first, base fallback (validate_hybrid_v5.py:35-110)."""
-    template = init_hybrid(jax.random.key(0), cfg.model)
+    template = init_model(jax.random.key(0), cfg.model)
     adapted = adapted_ckpt_path(cfg.out_dir, region_name, box)
     base = os.path.join(cfg.out_dir, "meta", "ckpt_best")
     if checkpoint_exists(adapted):

@@ -10,3 +10,7 @@ from weatherforecast_stgcn_maml_tpu.models.hybrid import (  # noqa: F401
     hybrid_param_count,
 )
 from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse  # noqa: F401
+from weatherforecast_stgcn_maml_tpu.models.registry import (  # noqa: F401
+    apply_model,
+    init_model,
+)

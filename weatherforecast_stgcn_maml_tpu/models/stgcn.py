@@ -87,6 +87,37 @@ def init_stgcn(key, cfg: ModelConfig) -> Params:
     }
 
 
+def init_stgcn_forecaster(key, cfg: ModelConfig) -> Params:
+    """Standalone-STGCN model with an in-model Koppen embedding, so it is a
+    drop-in `family="stgcn"` alternative to the hybrid across all engines."""
+    sk, kk = jax.random.split(key)
+    params = init_stgcn(sk, cfg)
+    params["koppen"] = jax.random.normal(kk, (cfg.koppen_classes, cfg.koppen_dim))
+    return params
+
+
+def apply_stgcn_forecaster(
+    params: Params,
+    a_hat: jnp.ndarray,
+    x: jnp.ndarray,
+    koppen_code: jnp.ndarray,
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    rng=None,
+) -> jnp.ndarray:
+    """[W, N, 16] features + Koppen code -> [H, N, 12] forecasts (same
+    signature as models.hybrid.apply_hybrid)."""
+    w, n, _ = x.shape
+    emb = params["koppen"][koppen_code]
+    emb = jnp.broadcast_to(emb, (w, n, emb.shape[-1]))
+    h = jnp.concatenate([x, emb.astype(x.dtype)], axis=-1)
+    return apply_stgcn(
+        {"encoder": params["encoder"], "head": params["head"]},
+        a_hat, h, cfg, train=train, rng=rng,
+    )
+
+
 def apply_stgcn(
     params: Params,
     a_hat: jnp.ndarray,

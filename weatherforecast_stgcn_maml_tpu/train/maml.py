@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from weatherforecast_stgcn_maml_tpu.config import MetaConfig, ModelConfig
-from weatherforecast_stgcn_maml_tpu.models.hybrid import apply_hybrid, init_hybrid
+from weatherforecast_stgcn_maml_tpu.models.registry import apply_model, init_model
 from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
 from weatherforecast_stgcn_maml_tpu.train.optimizers import (
     clip_global_norm_tree,
@@ -69,7 +69,7 @@ class MamlState(NamedTuple):
 
 
 def init_meta_state(key, model_cfg: ModelConfig, meta_cfg: MetaConfig) -> MamlState:
-    params = init_hybrid(key, model_cfg)
+    params = init_model(key, model_cfg)
     tx, _ = meta_optimizer(meta_cfg)
     return MamlState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
@@ -92,7 +92,7 @@ def adapt_and_query_loss(
     total_steps = cfg.inner_epochs * n_support
 
     def support_loss(p, idx, step_rng):
-        preds = apply_hybrid(
+        preds = apply_model(
             p, task.a_hat, task.support_x[idx], task.koppen, model_cfg,
             train=True, rng=step_rng,
         )
@@ -120,7 +120,7 @@ def adapt_and_query_loss(
         q_rng = (
             jax.random.fold_in(rng, 100_000 + i) if cfg.query_train_mode else None
         )
-        preds = apply_hybrid(
+        preds = apply_model(
             adapted, task.a_hat, task.query_x[i], task.koppen, model_cfg,
             train=cfg.query_train_mode, rng=q_rng,
         )

@@ -18,7 +18,7 @@ import jax.numpy as jnp  # noqa: F401  (jnp types in signatures)
 
 from weatherforecast_stgcn_maml_tpu.config import ModelConfig
 from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, slice_window
-from weatherforecast_stgcn_maml_tpu.models.hybrid import apply_hybrid
+from weatherforecast_stgcn_maml_tpu.models.registry import apply_model
 from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
 
 
@@ -35,12 +35,12 @@ def batched_forward(
     if rng is not None:
         rngs = jax.random.split(rng, b)
         return jax.vmap(
-            lambda xi, ri: apply_hybrid(
+            lambda xi, ri: apply_model(
                 params, a_hat, xi, koppen, model_cfg, train=train, rng=ri
             )
         )(x, rngs)
     return jax.vmap(
-        lambda xi: apply_hybrid(params, a_hat, xi, koppen, model_cfg, train=train)
+        lambda xi: apply_model(params, a_hat, xi, koppen, model_cfg, train=train)
     )(x)
 
 

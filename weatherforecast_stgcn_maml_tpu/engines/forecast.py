@@ -117,7 +117,7 @@ def run_forecast(
             region.times[-model_cfg.window :],
             times,
             input_temp,
-            mean_forecast[:, T2M_INDEX],  # no truth yet; plot forecast twice
+            None,  # no truth for a live forecast
             mean_forecast[:, T2M_INDEX],
             region_name,
         )

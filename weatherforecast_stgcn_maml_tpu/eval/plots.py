@@ -34,12 +34,16 @@ def temperature_figure(
     plt = _plt()
     fig, ax = plt.subplots(figsize=(14, 6))
     ax.plot(input_times, input_temp, "b-", lw=2, alpha=0.7, label="Input temperature")
-    ax.plot(forecast_times, true_temp, "g-", lw=2, marker="o", label="True forecast")
+    if true_temp is not None:  # None = pure forecast, no truth available yet
+        ax.plot(
+            forecast_times, true_temp, "g-", lw=2, marker="o", label="True forecast"
+        )
     ax.plot(
         forecast_times, pred_temp, "r--", lw=2, marker="s", label="Predicted forecast"
     )
     ax.axvline(forecast_times[0], color="black", ls=":", alpha=0.5, label="Forecast start")
-    allv = np.concatenate([input_temp, true_temp, pred_temp])
+    truth = [true_temp] if true_temp is not None else []
+    allv = np.concatenate([input_temp, *truth, pred_temp])
     ax.set_ylim(np.floor(allv.min()) - 2, np.ceil(allv.max()) + 2)
     ax.set_xlabel("Time")
     ax.set_ylabel("Temperature (K)")

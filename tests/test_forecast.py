@@ -159,3 +159,46 @@ def test_cli_import_checkpoint(tmp_path, capsys):
     arrays, meta = load_checkpoint(out_dir)
     assert meta["imported_from"] == pt
     assert arrays["params"]["koppen"].shape == (31, 5)
+
+
+def test_cli_import_checkpoint_as_adapted(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    import numpy as _np
+
+    from test_torch_import import _reference_state_dicts
+    from weatherforecast_stgcn_maml_tpu.cli import main
+    from weatherforecast_stgcn_maml_tpu.engines.adapt import adapted_ckpt_path
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        checkpoint_exists,
+        load_checkpoint,
+    )
+
+    cfg_model = ModelConfig(
+        hidden_channels=8, gcn_layers=2, lstm_hidden=6, lstm_layers=2,
+        window=4, horizon=3, koppen_dim=5,
+    )
+    hybrid, koppen, _ = _reference_state_dicts(cfg_model)
+    pt = str(tmp_path / "adapted.pt")
+    torch.save(
+        {
+            "hybrid_model_state_dict": hybrid,
+            "koppen_embed_state_dict": koppen,
+            "config": {"hidden_channels": 8, "window_size": 4, "forecast_horizon": 3},
+            "hybrid_config": {"lstm_hidden_size": 6, "lstm_num_layers": 2},
+            "stats": {"mean": _np.zeros(12), "std": _np.ones(12)},
+            "region_name": "Moscow",
+        },
+        pt,
+    )
+    out_dir = str(tmp_path / "out")
+    assert (
+        main(["import-checkpoint", pt, "--region", "Moscow", "-o", f"out_dir={out_dir}"])
+        == 0
+    )
+    box = (53, 58, 35, 40)
+    path = adapted_ckpt_path(out_dir, "Moscow", box)
+    assert checkpoint_exists(path)
+    _, meta = load_checkpoint(path)
+    assert meta["schema"] == "wfstgcn-adapted-v1"
+    assert meta["region_name"] == "Moscow"
+    assert meta["stats"]["std"][0] == 1.0

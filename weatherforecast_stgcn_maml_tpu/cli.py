@@ -103,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     imp.add_argument("path", help="reference .pt checkpoint")
     imp.add_argument("--out", help="output checkpoint dir (default: out/meta/ckpt_best)")
+    imp.add_argument(
+        "--region",
+        help="import as an ADAPTED checkpoint for this named region "
+        "(reference adapt_hybrid_v5.py outputs carry region stats)",
+    )
+    imp.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    imp.add_argument("--name", help="region name when using --box")
     _add_common(imp)
 
     dr = sub.add_parser(
@@ -129,7 +138,8 @@ def _resolve_region(args):
     if args.region:
         return _region_by_name(args.region)
     if args.box:
-        return _parse_box(args.box), (args.name or f"box{tuple(args.box)}")
+        box = _parse_box(args.box)
+        return box, (args.name or f"box{box}")
     raise SystemExit("pass --region NAME or --box LAT_MIN LAT_MAX LON_MIN LON_MAX")
 
 
@@ -192,22 +202,35 @@ def main(argv=None) -> int:
         )
 
         params, model_cfg, stats, meta = import_torch_checkpoint(args.path)
-        out = args.out or f"{cfg.out_dir}/meta/ckpt_best"
-        save_checkpoint(
-            out,
-            {"params": params},
-            {
-                "schema": "wfstgcn-meta-v1",
-                "model_version": str(meta.get("model_version", "imported")),
-                "imported_from": args.path,
-                "epoch": int(meta.get("epoch", -1)),
-                "stats": stats.to_dict() if stats is not None else None,
-                "config": {
-                    **cfg_to_dict(cfg),
-                    "model": cfg_to_dict(model_cfg),
+        common = {
+            "model_version": str(meta.get("model_version", "imported")),
+            "imported_from": args.path,
+            "epoch": int(meta.get("epoch", -1)),
+            "stats": stats.to_dict() if stats is not None else None,
+            "config": {**cfg_to_dict(cfg), "model": cfg_to_dict(model_cfg)},
+        }
+        if args.region or args.box:
+            from weatherforecast_stgcn_maml_tpu.engines.adapt import (
+                adapted_ckpt_path,
+            )
+
+            box, name = _resolve_region(args)
+            out = args.out or adapted_ckpt_path(cfg.out_dir, name, box)
+            save_checkpoint(
+                out,
+                {"params": params},
+                {
+                    "schema": "wfstgcn-adapted-v1",
+                    "region": list(box),
+                    "region_name": name,
+                    **common,
                 },
-            },
-        )
+            )
+        else:
+            out = args.out or f"{cfg.out_dir}/meta/ckpt_best"
+            save_checkpoint(
+                out, {"params": params}, {"schema": "wfstgcn-meta-v1", **common}
+            )
         print(f"imported {args.path} -> {out}")
         print(f"model config: {model_cfg}")
         return 0

@@ -83,6 +83,7 @@ def build_bench_inputs(quick: bool, dtype: str):
 
 def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     import jax
+    import numpy as np
 
     from weatherforecast_stgcn_maml_tpu.utils.profiling import block_until_ready
 
@@ -106,7 +107,9 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     for r in range(reps):
         t0 = time.perf_counter()
         state, metrics = step(state, tasks, jax.random.key(2 + r))
-        block_until_ready(metrics["meta_loss"])
+        # Force a device->host value fetch: under pool contention the
+        # tunnel's block_until_ready has been observed returning early.
+        float(np.asarray(metrics["meta_loss"]))
         times.append(time.perf_counter() - t0)
     best = min(times)
     avg = sum(times) / len(times)

@@ -136,6 +136,30 @@ def test_synthetic_determinism():
     assert not np.array_equal(a.weather, c.weather)
 
 
+def test_shared_seed_defines_one_global_field():
+    """Same seed -> overlapping boxes agree exactly on the overlap (minus
+    local noise); different seeds -> different fields."""
+    a = synthetic_region(10.0, 12.0, 20.0, 22.0, num_timesteps=8, seed=5, noise=0.0)
+    b = synthetic_region(11.0, 13.0, 21.0, 23.0, num_timesteps=8, seed=5, noise=0.0)
+    # Overlap: lat 11..12, lon 21..22. In a's grid that starts at index 4
+    # (0.25 deg resolution), in b's at index 0.
+    np.testing.assert_allclose(
+        a.weather[:, 4:9, 4:9, :], b.weather[:, 0:5, 0:5, :], rtol=1e-6
+    )
+    c = synthetic_region(11.0, 13.0, 21.0, 23.0, num_timesteps=8, seed=6, noise=0.0)
+    assert not np.allclose(b.weather, c.weather)
+
+
+def test_hour_offset_shifts_time_window():
+    base = synthetic_region(10.0, 11.0, 20.0, 21.0, num_timesteps=8, seed=5, noise=0.0)
+    later = synthetic_region(
+        10.0, 11.0, 20.0, 21.0, num_timesteps=8, seed=5, noise=0.0, hour_offset=4
+    )
+    # later's window starts 4 hours in: frames overlap shifted by 4.
+    np.testing.assert_allclose(base.weather[4:8], later.weather[0:4], rtol=1e-6)
+    assert later.times[0] == base.times[4]
+
+
 def test_synthetic_nan_injection():
     r = synthetic_region(num_timesteps=16, seed=1, nan_fraction=0.1)
     frac = np.isnan(r.weather).mean()

@@ -204,6 +204,11 @@ class DataConfig:
     # Timesteps generated per region when no ERA5 root is configured and the
     # synthetic backend is used (tests, benchmarks, smoke runs).
     synthetic_timesteps: int = 720
+    # >= 0: all synthetic regions sample ONE coherent global wave field with
+    # this seed (cross-region transfer becomes measurable; train/adapt/
+    # validate tags see different time windows of it). -1 (default):
+    # independent dynamics per (region, tag).
+    synthetic_shared_seed: int = -1
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,7 @@ def synthetic_region(
     nan_fraction: float = 0.0,
     koppen_code: int = 8,
     name: str = "synthetic",
+    hour_offset: int = 0,
 ) -> RegionData:
     """Generate a RegionData box on a regular grid.
 
@@ -48,14 +49,23 @@ def synthetic_region(
       offset_v + scale_v * [diurnal + annual + traveling wave + noise]
     with variable-specific random phases, so variables are correlated in
     space/time but not identical.
+
+    With a per-region `seed`, every region gets independent wave dynamics —
+    good for task diversity, but cross-region meta-transfer is then
+    impossible by construction. Pass the SAME seed for all regions (e.g.
+    DataConfig.synthetic_shared_seed) to place them inside one coherent
+    global wave field: the waves are functions of absolute (lat, lon, t),
+    so different boxes see different views of shared physics and transfer
+    becomes measurable (benchmarks/maml_efficacy.md).
     """
-    rng = np.random.default_rng(seed)
     lats = np.arange(lat_min, lat_max + 1e-9, resolution)
     lons = np.arange(lon_min, lon_max + 1e-9, resolution)
-    t0 = np.datetime64(start)
+    t0 = np.datetime64(start) + np.timedelta64(hour_offset, "h")
     times = t0 + np.arange(num_timesteps) * np.timedelta64(step_hours, "h")
 
-    hours = np.arange(num_timesteps) * step_hours
+    # `hour_offset` shifts the temporal window within the (shared-seed)
+    # global field, so e.g. train/adapt/validate epochs see different data.
+    hours = hour_offset + np.arange(num_timesteps) * step_hours
     # [T, 1, 1] time phases
     diurnal = np.sin(2 * np.pi * hours / 24.0)[:, None, None]
     annual = np.sin(2 * np.pi * hours / (24.0 * 365.25))[:, None, None]
@@ -64,19 +74,32 @@ def synthetic_region(
     fields = np.empty(
         (num_timesteps, len(lats), len(lons), NUM_WEATHER_VARS), dtype=np.float32
     )
+    # Wave parameters come from a per-(seed, variable) stream that consumes
+    # a fixed number of draws, so they are independent of box size/location
+    # — a shared seed therefore defines one global field any box samples.
+    # Noise is a separate stream keyed additionally on the box, so it stays
+    # local (uncorrelated across regions) like real measurement noise.
+    # Non-negative ints (np.random seed sequences reject negatives).
+    box_key = (
+        int(round((lat_min + 90.0) * 100)),
+        int(round((lon_min + 360.0) * 100)),
+    )
     for v in range(NUM_WEATHER_VARS):
-        phase = rng.uniform(0, 2 * np.pi)
-        kx, ky = rng.uniform(0.5, 2.0, size=2)
-        speed = rng.uniform(0.05, 0.2)
+        prng = np.random.default_rng((seed, v))
+        phase = prng.uniform(0, 2 * np.pi)
+        kx, ky = prng.uniform(0.5, 2.0, size=2)
+        speed = prng.uniform(0.05, 0.2)
         wave = np.sin(
             kx * lat_g[None] + ky * lon_g[None] + speed * hours[:, None, None] + phase
         )
         base = 0.45 * diurnal + 0.25 * annual + 0.5 * wave
-        base = base + noise * rng.standard_normal(base.shape)
+        nrng = np.random.default_rng((seed, v, *box_key, hour_offset))
+        base = base + noise * nrng.standard_normal(base.shape)
         fields[..., v] = (_VAR_OFFSET[v] + _VAR_SCALE[v] * base).astype(np.float32)
 
     if nan_fraction > 0:
-        mask = rng.random(fields.shape) < nan_fraction
+        nan_rng = np.random.default_rng((seed, 999, *box_key))
+        mask = nan_rng.random(fields.shape) < nan_fraction
         fields[mask] = np.nan
 
     return RegionData(
@@ -97,7 +120,10 @@ def synthetic_region_for_box(
     seed: int | None = None,
     **kwargs,
 ) -> RegionData:
-    """Synthetic region keyed deterministically on the box coordinates."""
+    """Synthetic region keyed deterministically on the box coordinates.
+
+    Pass an explicit shared `seed` to sample all boxes from one global wave
+    field (see synthetic_region)."""
     lat_min, lat_max, lon_min, lon_max = box
     if seed is None:
         seed = abs(hash((lat_min, lat_max, lon_min, lon_max))) % (2**31)

@@ -32,6 +32,18 @@ def get_region_data(
             box, years, cfg, strict=strict, tag=tag or "-".join(years), name=name
         )
     t = num_timesteps or cfg.synthetic_timesteps
+    if cfg.synthetic_shared_seed >= 0:
+        # One coherent global field; each workflow stage reads a different
+        # temporal window of it (mimicking the reference's distinct ERA5
+        # year ranges: train 2020-24, adapt 2023-24, validate 2025).
+        offsets = {"train": 0, "adapt": 3 * 8766, "validate": 5 * 8766}
+        return synthetic_region_for_box(
+            box,
+            num_timesteps=t,
+            seed=cfg.synthetic_shared_seed,
+            hour_offset=offsets.get(tag, 0),
+            name=name or f"synthetic{box}",
+        )
     # Seed differs by (box, tag) so train/adapt/validate years yield
     # different-but-deterministic data, like distinct ERA5 year ranges.
     seed = abs(hash((box, tag))) % (2**31)

@@ -89,3 +89,15 @@ def test_stgcn_family_through_all_engines(tmp_path):
     vres = run_validation(cfg, BOX, "StgcnRegion", make_plots=False, log_cb=lambda *_: None)
     assert vres.model_kind == "adapted"
     assert np.isfinite(vres.results["average_mse"])
+
+    # Family mismatch fails with a clear message, not an Orbax tree error.
+    hybrid_cfg = dataclasses.replace(cfg, model=dataclasses.replace(STGCN_CFG, family="hybrid"))
+    with pytest.raises(ValueError, match="family"):
+        run_validation(
+            hybrid_cfg, BOX, "StgcnRegion", make_plots=False, log_cb=lambda *_: None
+        )
+    with pytest.raises(ValueError, match="family"):
+        run_adaptation(
+            hybrid_cfg, BOX, "Other", meta_ckpt=mres.best_path, region=region,
+            log_cb=lambda *_: None,
+        )

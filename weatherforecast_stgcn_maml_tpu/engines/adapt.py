@@ -86,6 +86,12 @@ def run_adaptation(
         meta_ckpt = os.path.join(out_dir, "meta", "ckpt_best")
 
     # Rebuild params from the checkpoint (template-shaped restore).
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        check_family,
+        load_meta,
+    )
+
+    check_family(load_meta(meta_ckpt), model_cfg.family, meta_ckpt)
     template = init_model(jax.random.key(0), model_cfg)
     arrays, meta = load_checkpoint(meta_ckpt, like={"params": template})
     params = arrays["params"]

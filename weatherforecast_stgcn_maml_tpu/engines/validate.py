@@ -54,15 +54,22 @@ class ValidationResult:
 
 def _load_params_and_stats(cfg: ExperimentConfig, box, region_name, log_cb):
     """Adapted checkpoint first, base fallback (validate_hybrid_v5.py:35-110)."""
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        check_family,
+        load_meta,
+    )
+
     template = init_model(jax.random.key(0), cfg.model)
     adapted = adapted_ckpt_path(cfg.out_dir, region_name, box)
     base = os.path.join(cfg.out_dir, "meta", "ckpt_best")
     if checkpoint_exists(adapted):
+        check_family(load_meta(adapted), cfg.model.family, adapted)
         arrays, meta = load_checkpoint(adapted, like={"params": template})
         stats = NormStats.from_dict(meta["stats"]) if meta.get("stats") else None
         return arrays["params"], stats, "adapted"
     if checkpoint_exists(base):
         log_cb(f"[validate:{region_name}] no adapted model, using base checkpoint")
+        check_family(load_meta(base), cfg.model.family, base)
         arrays, _ = load_checkpoint(base, like={"params": template})
         return arrays["params"], None, "base"
     raise FileNotFoundError(

@@ -89,3 +89,22 @@ def load_checkpoint(path: str, like=None):
 
 def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(path) and os.path.exists(os.path.join(path, "meta.json"))
+
+
+def load_meta(path: str) -> dict:
+    """Read only the JSON metadata of a checkpoint (cheap peek)."""
+    with open(os.path.join(os.path.abspath(path), "meta.json")) as f:
+        return json.load(f)
+
+
+def check_family(meta: dict, expected_family: str, path: str) -> None:
+    """Fail with a clear message when a checkpoint was trained with a
+    different model family than the current config expects (the Orbax
+    structure-mismatch error this preempts is cryptic)."""
+    saved = (meta.get("config") or {}).get("model", {}).get("family")
+    if saved is not None and saved != expected_family:
+        raise ValueError(
+            f"checkpoint {path} holds a {saved!r}-family model but the "
+            f"current config expects {expected_family!r}; pass "
+            f"-o model.family={saved} (and matching architecture overrides)"
+        )

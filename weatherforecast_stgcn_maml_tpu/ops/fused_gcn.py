@@ -204,9 +204,27 @@ def _pallas_stack(weights, biases, a_hat, h, compute_dtype):
     return out.reshape(*lead, n, c_out)
 
 
+# Conservative VMEM budget for the fused stack's resident buffers (the
+# hardware has ~16 MB/core; leave headroom for double buffering and spills).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _stack_fits_vmem(weights, n: int, c_in: int) -> bool:
+    adj = n * n * 4
+    ws = sum(w.shape[0] * w.shape[1] * 4 for w in weights)
+    c_max = max([c_in] + [w.shape[1] for w in weights])
+    act = 2 * n * c_max * 4  # current + next activation
+    return adj + ws + act <= _VMEM_BUDGET_BYTES
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_stack(weights, biases, a_hat, h, compute_dtype):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or not _stack_fits_vmem(
+        weights, h.shape[-2], h.shape[-1]
+    ):
+        # Non-TPU backends, or grids whose adjacency no longer fits VMEM
+        # (N >~ 1500 at fp32): XLA path. Beyond-VMEM single-chip serving is
+        # better served by the node-sharded spatial path (parallel/spatial).
         return _xla_stack(weights, biases, a_hat, h, compute_dtype)
     return _pallas_stack(weights, biases, a_hat, h, compute_dtype)
 

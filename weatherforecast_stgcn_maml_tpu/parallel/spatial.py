@@ -31,18 +31,31 @@ from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype, apply_dens
 from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm
 
 
-def _spatial_encoder(params, a_rows, h_local, cfg: ModelConfig, axis: str):
+def _spatial_encoder(
+    params,
+    a_rows,
+    h_local,
+    cfg: ModelConfig,
+    axis: str,
+    *,
+    train: bool = False,
+    rng=None,
+):
     """GCN stack with node-sharded activations.
 
     Args:
       a_rows: [N/d, N] this device's row block of the padded adjacency.
       h_local: [W, N/d, C_in] this device's node shard.
+      rng: per-SHARD key (already folded with the shard index) for dropout.
     Returns [W, N/d, hidden].
     """
+    from weatherforecast_stgcn_maml_tpu.models.common import dropout
+
     dtype = resolve_dtype(cfg.compute_dtype)
     acc = accum_dtype(dtype)
     h = h_local
-    for layer in params["layers"]:
+    n_layers = len(params["layers"])
+    for l, layer in enumerate(params["layers"]):
         w = layer["w"].astype(dtype)
         hw_local = jnp.dot(h.astype(dtype), w, preferred_element_type=acc)
         # One all-gather per layer: [W, N/d, C_out] -> [W, N, C_out].
@@ -57,6 +70,9 @@ def _spatial_encoder(params, a_rows, h_local, cfg: ModelConfig, axis: str):
             + layer["b"]
         )
         h = jax.nn.relu(h)
+        if l < n_layers - 1:
+            sub = jax.random.fold_in(rng, l) if rng is not None else None
+            h = dropout(h, cfg.gcn_dropout, sub, train=train)
     return h
 
 
@@ -94,6 +110,79 @@ def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
         out_specs=P(None, axis, None),
     )
     return jax.jit(sharded)
+
+
+def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
+    """Node-sharded TRAINING step for grids beyond one chip's activation
+    memory: forward and backward both run with the node axis sharded
+    (autodiff through shard_map inserts the psum for the replicated-param
+    gradients), dropout uses a per-shard rng (fold_in by shard index), and
+    `tx` updates replicated params.
+
+    Returns `step(params, opt_state, a_hat, x, y, koppen, mask, lr, rng)
+    -> (params, opt_state, loss)`; a_hat rows / x / y / mask are sharded
+    along `axis` by the jit's sharding constraints.
+    """
+
+    def local_fwd(params, a_rows, x_local, koppen, rng):
+        w, n_local, _ = x_local.shape
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        enc_rng, lstm_rng, head_rng = jax.random.split(shard_rng, 3)
+        emb = params["koppen"][koppen]
+        emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
+        h = jnp.concatenate([x_local, emb.astype(x_local.dtype)], axis=-1)
+        h = _spatial_encoder(
+            params["encoder"], a_rows, h, model_cfg, axis, train=True, rng=enc_rng
+        )
+        h = jnp.swapaxes(h, 0, 1)
+        feat = apply_lstm(
+            params["lstm"], h,
+            dropout_rate=model_cfg.lstm_dropout, train=True, rng=lstm_rng,
+            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
+        )
+        from weatherforecast_stgcn_maml_tpu.models.common import dropout
+
+        feat = dropout(feat, model_cfg.lstm_dropout, head_rng, train=True)
+        out = apply_dense(
+            params["head"], feat,
+            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
+        )
+        out = out.reshape(n_local, model_cfg.horizon, model_cfg.num_weather_vars)
+        return jnp.swapaxes(out, 0, 1)
+
+    def local_loss(params, a_rows, x_local, y_local, koppen, mask_local, rng):
+        preds = local_fwd(params, a_rows, x_local, koppen, rng)
+        se = jnp.square(preds - y_local) * mask_local[:, None]
+        num = jax.lax.psum(se.sum(), axis)
+        cnt = jax.lax.psum(mask_local.sum(), axis)
+        scale = preds.shape[0] * preds.shape[-1]
+        return num / (jnp.maximum(cnt, 1.0) * scale)
+
+    sharded_loss = jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(axis, None),
+            P(None, axis, None),
+            P(None, axis, None),
+            P(),
+            P(axis),
+            P(),
+        ),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def step(params, opt_state, a_hat, x, y, koppen, mask, lr, rng):
+        loss, grads = jax.value_and_grad(sharded_loss)(
+            params, a_hat, x, y, koppen, mask, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def spatial_mse(mesh, axis: str = "sp"):

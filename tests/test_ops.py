@@ -101,6 +101,40 @@ def test_fused_stack_gradients():
         )
 
 
+def test_fused_lstm_matches_xla_path():
+    from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm, init_lstm
+    from weatherforecast_stgcn_maml_tpu.ops.fused_lstm import (
+        fits_vmem,
+        fused_lstm_last_hidden,
+    )
+
+    params = init_lstm(jax.random.key(7), in_dim=12, hidden=8, num_layers=3)
+    assert fits_vmem(params, 6)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(40, 6, 12)), jnp.float32)
+    ref = apply_lstm(params, x)
+    got = fused_lstm_last_hidden(params, x)  # CPU -> XLA fallback
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # Gradients flow through the custom VJP.
+    g = jax.grad(lambda p: jnp.sum(fused_lstm_last_hidden(p, x) ** 2))(params)
+    gr = jax.grad(lambda p: jnp.sum(apply_lstm(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_hybrid_pallas_lstm_flag():
+    cfg = dataclasses.replace(CFG, use_pallas_lstm=True)
+    params = init_hybrid(jax.random.key(8), CFG)
+    g = build_region_graph(np.arange(3.0), np.arange(4.0), pad_to=128)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(CFG.window, 128, CFG.feature_channels)),
+        jnp.float32,
+    )
+    ref = apply_hybrid(params, jnp.asarray(g.a_hat), x, jnp.int32(1), CFG)
+    got = apply_hybrid(params, jnp.asarray(g.a_hat), x, jnp.int32(1), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_encoder_pallas_flag_eval_equivalence():
     """use_pallas_gcn=True in eval mode routes through the fused stack and
     must match the plain path; the full hybrid forward agrees too."""

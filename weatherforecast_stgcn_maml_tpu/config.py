@@ -111,6 +111,11 @@ class ModelConfig:
     # (eval/serving) encoder passes — measured 1.17x vs XLA at reference
     # shapes, bit-exact; non-TPU backends fall back to XLA automatically.
     use_pallas_gcn: bool = True
+    # Fused all-layers-in-one-kernel Pallas LSTM for eval passes. Measured
+    # bit-exact but NOT faster than the XLA scan at reference shapes (the
+    # sequential time loop dominates, not weight refetch), so default off;
+    # kept for larger-batch serving regimes where it may win.
+    use_pallas_lstm: bool = False
 
     @property
     def in_channels(self) -> int:  # 12 + 4 + 8 = 24

@@ -91,11 +91,18 @@ def apply_hybrid(
         h = jax.lax.stop_gradient(h)
 
     h = jnp.swapaxes(h, 0, 1)  # [N, W, hidden] — nodes become the batch axis
-    feat = apply_lstm(
-        params["lstm"], h,
-        dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
-        compute_dtype=dtype,
-    )  # [N, lstm_hidden]
+    if cfg.use_pallas_lstm and (not train or cfg.lstm_dropout == 0.0):
+        from weatherforecast_stgcn_maml_tpu.ops.fused_lstm import (
+            fused_lstm_last_hidden,
+        )
+
+        feat = fused_lstm_last_hidden(params["lstm"], h, compute_dtype=dtype)
+    else:
+        feat = apply_lstm(
+            params["lstm"], h,
+            dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
+            compute_dtype=dtype,
+        )  # [N, lstm_hidden]
     feat = dropout(feat, cfg.lstm_dropout, head_rng, train=train)
 
     out = apply_dense(params["head"], feat, compute_dtype=dtype)  # [N, H*12]

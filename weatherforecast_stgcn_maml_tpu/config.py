@@ -189,6 +189,10 @@ class AdaptConfig:
     # TPU we batch windows for throughput. Set to 1 for reference semantics.
     batch_size: int = 8
     shuffle: bool = True
+    # Stream very long histories through HBM in chunks of this many
+    # timesteps (0 = keep the whole [T, N, C] tensor device-resident).
+    # Chunks overlap by window+horizon so no training window is lost.
+    max_device_timesteps: int = 0
 
 
 @dataclass(frozen=True)

@@ -109,9 +109,27 @@ def run_adaptation(
         region.lats, region.lons, k_neighbors=cfg.data.k_neighbors
     )
     features_np, stats = prepare_features(region)
-    features = jnp.asarray(pad_nodes(features_np, graph.padded_nodes))
+    features_np = pad_nodes(features_np, graph.padded_nodes)
 
     spec = WindowSpec(model_cfg.window, model_cfg.horizon)
+    from weatherforecast_stgcn_maml_tpu.data.streaming import (
+        assign_anchors,
+        plan_chunks,
+    )
+
+    chunks = plan_chunks(
+        region.num_timesteps, spec, ad.max_device_timesteps
+    )
+    if len(chunks) == 1:
+        chunk_feats = [jnp.asarray(features_np)]  # fully device-resident
+    else:
+        log_cb(
+            f"[adapt:{region_name}] streaming {region.num_timesteps} "
+            f"timesteps through HBM in {len(chunks)} chunks of "
+            f"{chunks[0].stop - chunks[0].start}"
+        )
+        chunk_feats = None  # shipped per epoch below
+
     n_samples = spec.num_samples(region.num_timesteps)
     train_idx, val_idx = contiguous_split(
         n_samples, ad.train_fraction, ad.max_samples
@@ -151,23 +169,40 @@ def run_adaptation(
     np_rng = np.random.default_rng(ad.seed)
     jsonl = JsonlLogger(os.path.join(out_dir, "adapt", f"{region_name}.jsonl"))
 
+    train_anchor_sets = assign_anchors(chunks, spec.window + train_idx, spec)
+    val_anchor_sets = assign_anchors(chunks, spec.window + val_idx, spec)
+
+    def chunk_features(i):
+        if chunk_feats is not None:
+            return chunk_feats[i]
+        ch = chunks[i]
+        return jnp.asarray(features_np[ch.start : ch.stop])
+
     epoch_losses: list[float] = []
     lr = schedule.step(None)
     for epoch in range(ad.epochs):
-        batches = _batch_anchors(
-            spec.window + train_idx, ad.batch_size, shuffle=ad.shuffle, rng=np_rng
-        )
-        state, losses = run_epoch(
-            state,
-            features,
-            jnp.asarray(batches),
-            a_hat,
-            node_mask,
-            koppen,
-            jnp.float32(lr),
-            jax.random.fold_in(jax.random.key(ad.seed + 7), epoch),
-        )
-        avg = float(np.asarray(losses).mean())
+        losses_all = []
+        for ci in range(len(chunks)):
+            anchors = train_anchor_sets[ci]
+            if len(anchors) == 0:
+                continue
+            batches = _batch_anchors(
+                anchors, ad.batch_size, shuffle=ad.shuffle, rng=np_rng
+            )
+            state, losses = run_epoch(
+                state,
+                chunk_features(ci),
+                jnp.asarray(batches),
+                a_hat,
+                node_mask,
+                koppen,
+                jnp.float32(lr),
+                jax.random.fold_in(
+                    jax.random.key(ad.seed + 7), epoch * 1000 + ci
+                ),
+            )
+            losses_all.append(np.asarray(losses))
+        avg = float(np.concatenate(losses_all).mean())
         epoch_losses.append(avg)
         jsonl.log({"epoch": epoch + 1, "loss": avg, "lr": lr})
         log_cb(
@@ -176,11 +211,23 @@ def run_adaptation(
         )
         lr = schedule.step(avg)
 
-    val_batches = _batch_anchors(
-        spec.window + val_idx, ad.batch_size, shuffle=False, rng=np_rng
-    )
+    val_parts = []
+    for ci in range(len(chunks)):
+        anchors = val_anchor_sets[ci]
+        if len(anchors) == 0:
+            continue
+        val_batches = _batch_anchors(
+            anchors, ad.batch_size, shuffle=False, rng=np_rng
+        )
+        mse = float(
+            run_eval(
+                state.params, chunk_features(ci), jnp.asarray(val_batches),
+                a_hat, node_mask, koppen,
+            )
+        )
+        val_parts.append((mse, len(val_batches)))
     val_mse = float(
-        run_eval(state.params, features, jnp.asarray(val_batches), a_hat, node_mask, koppen)
+        sum(m * n for m, n in val_parts) / max(1, sum(n for _, n in val_parts))
     )
     log_cb(f"[adapt:{region_name}] validation MSE {val_mse:.6f}")
 

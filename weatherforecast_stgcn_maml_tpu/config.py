@@ -157,6 +157,10 @@ class MetaConfig:
     # *intends* MAML but its deepcopy inner loop detaches the meta-graph
     # entirely (SURVEY quirk 1); both of our modes are mathematically real.
     second_order: bool = False
+    # Unroll factor for the inner-SGD lax.scan (XLA replicates the step body
+    # this many times per loop iteration — trades compile time/code size for
+    # less loop overhead on the many small inner steps).
+    inner_unroll: int = 1
     # Reference evaluates the query batch with the model in train() mode
     # (dropout active, train_hybrid_maml_v5.py:159-166); keep for parity.
     query_train_mode: bool = True

@@ -110,7 +110,10 @@ def adapt_and_query_loss(
         return p, None
 
     step_fn = jax.checkpoint(inner_step) if cfg.second_order else inner_step
-    adapted, _ = jax.lax.scan(step_fn, params, jnp.arange(total_steps))
+    adapted, _ = jax.lax.scan(
+        step_fn, params, jnp.arange(total_steps),
+        unroll=max(1, min(cfg.inner_unroll, total_steps)),
+    )
 
     # Query evaluation — the reference keeps dropout active here
     # (adapted_model.train(), train_hybrid_maml_v5.py:159).

@@ -118,6 +118,26 @@ def test_adapt_and_validate(trained):
         assert os.path.getsize(p) > 1000
 
 
+def test_validate_per_window_scoring_flag(trained):
+    """compat.average_validation_targets=False scores each window against
+    its own target (no pseudo-target smoothing) — quirk 5's honest mode."""
+    from weatherforecast_stgcn_maml_tpu.config import CompatConfig
+
+    cfg, res, _ = trained
+    honest = dataclasses.replace(
+        cfg, compat=CompatConfig(average_validation_targets=False)
+    )
+    v_avg = run_validation(cfg, BOX_A, "RegionA", make_plots=False, log_cb=lambda *_: None)
+    v_per = run_validation(
+        honest, BOX_A, "RegionA", make_plots=False, log_cb=lambda *_: None
+    )
+    assert np.isfinite(v_per.results["average_mse"])
+    # Per-window scoring cannot be lower than scoring against the smoothed
+    # pseudo-target average... it CAN differ either way, but must differ.
+    assert v_per.results["average_mse"] != v_avg.results["average_mse"]
+    assert set(v_per.results) == set(v_avg.results)
+
+
 def test_validate_falls_back_to_base(trained):
     cfg, res, _ = trained
     vres = run_validation(

@@ -104,34 +104,44 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     block_until_ready(metrics["meta_loss"])
 
     # The shared TPU pool behind the tunnel shows ~60x contention swings
-    # (benchmarks/e2e_tpu_run.md). Sample in short bursts within a time
-    # budget and keep the global best; stop early once a step lands within
-    # striking distance of the known-uncontended figure.
-    clean_step_s = 0.040 if not quick else 0.002  # measured clean-window time
-    budget_s = 360.0 if not quick else 20.0
+    # (benchmarks/e2e_tpu_run.md). On TPU: sample in short bursts within a
+    # time budget, keep the global best, and stop early once a step lands
+    # within striking distance of the known clean-window figure. Other
+    # backends have no pool contention — one burst, no retry, no warning.
+    on_tpu = jax.default_backend() == "tpu"
+    clean_step_s = 0.040 if not quick else 0.002  # measured TPU clean-window
+    budget_s = (360.0 if not quick else 20.0) if on_tpu else 0.0
     times = []
+    burst_avgs = []
     t_start = time.perf_counter()
     burst = 0
     while True:
         for r in range(reps):
             t0 = time.perf_counter()
-            state, metrics = step(state, tasks, jax.random.key(2 + burst * 100 + r))
+            state, metrics = step(state, tasks, jax.random.key(2 + burst * reps + r))
             # Force a device->host value fetch: under pool contention the
             # tunnel's block_until_ready has been observed returning early.
             float(np.asarray(metrics["meta_loss"]))
             times.append(time.perf_counter() - t0)
+            if budget_s > 0 and time.perf_counter() - t_start > budget_s and r >= 1:
+                break  # bound budget overshoot to about one step
+        burst_times = times[-(r + 1) :]
+        burst_avgs.append((min(burst_times), sum(burst_times) / len(burst_times)))
         best = min(times)
         elapsed = time.perf_counter() - t_start
         _log(
-            f"[bench] burst {burst}: best {best * 1e3:.1f}ms "
-            f"(elapsed {elapsed:.0f}s)"
+            f"[bench] burst {burst}: best {min(burst_times) * 1e3:.1f}ms, "
+            f"global best {best * 1e3:.1f}ms (elapsed {elapsed:.0f}s)"
         )
         if best <= 3 * clean_step_s or elapsed > budget_s:
             break
         burst += 1
-        time.sleep(min(20.0, budget_s - elapsed))
-    avg = sum(times) / len(times)
-    if best > 3 * clean_step_s:
+        time.sleep(min(20.0, max(0.0, budget_s - elapsed)))
+    # Average of the best burst only: comparable across runs regardless of
+    # how long contention sampling lasted.
+    avg = min(burst_avgs, key=lambda ba: ba[0])[1]
+    contended = on_tpu and best > 3 * clean_step_s
+    if contended:
         _log(
             "[bench] WARNING: no uncontended window found within the budget; "
             "the reported value understates hardware capability "
@@ -141,10 +151,12 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     return {
         "meta_steps_per_sec": 1.0 / best,
         "step_seconds_best": best,
-        "step_seconds_avg": avg,
+        "step_seconds_avg_best_burst": avg,
         "compile_seconds": compile_s,
         "meta_loss": float(metrics["meta_loss"]),
         "backend": jax.default_backend(),
+        "contended": contended,
+        "num_timed_steps": len(times),
     }
 
 
@@ -409,10 +421,19 @@ def main(argv=None) -> int:
             "vs_baseline": None,
         }
     else:
+        unit = (
+            "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, "
+            "~860K-param hybrid)"
+        )
+        if result.get("contended"):
+            unit += (
+                " [MEASURED UNDER POOL CONTENTION — understates hardware; "
+                "clean-window reference: ~25-30/s]"
+            )
         line = {
             "metric": "maml_meta_steps_per_sec",
             "value": round(value, 4),
-            "unit": "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, ~860K-param hybrid)",
+            "unit": unit,
             "vs_baseline": round(vs, 1),
         }
     print(json.dumps(line))

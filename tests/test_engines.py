@@ -212,6 +212,57 @@ def test_adapt_frozen_base_leaves_encoder_untouched(trained):
     assert not np.allclose(before["params"]["head"]["w"], after["params"]["head"]["w"])
 
 
+def test_meta_training_adjusts_batch_to_task_pool(tmp_path):
+    """Fewer loaded tasks than meta_batch (or an indivisible batch/accum
+    pair) must adjust and train, not crash at the first step."""
+    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, meta=dataclasses.replace(cfg.meta, meta_batch=4, grad_accum=2, num_epochs=2)
+    )
+    regions = [  # only 3 tasks available
+        synthetic_region_for_box(BOX_A, num_timesteps=48, seed=s, name=f"r{s}")
+        for s in range(3)
+    ]
+    logs = []
+    res = run_meta_training(cfg, regions, log_cb=logs.append)
+    assert np.isfinite(res.best_loss)
+    assert any("adjusting meta_batch 4->3, grad_accum 2->1" in l for l in logs)
+
+
+def test_short_region_tasks_stack_with_normal_ones(tmp_path):
+    """Heterogeneous window counts pad by cycling so stacking works."""
+    from weatherforecast_stgcn_maml_tpu.train.tasks import (
+        build_meta_tasks,
+        stack_tasks,
+    )
+
+    cfg = _cfg(tmp_path)
+    regions = [
+        synthetic_region_for_box(BOX_A, num_timesteps=48, seed=1, name="long"),
+        # Only 48->13 vs 13 windows... make it genuinely short: 12 timesteps
+        # -> 4 windows -> 3 support + 1 query, padded up to inner_batches.
+        synthetic_region_for_box(BOX_B, num_timesteps=12, seed=2, name="short"),
+    ]
+    built = build_meta_tasks(regions, cfg.model, cfg.meta, cfg.data)
+    shapes = {b.task.support_x.shape for b in built}
+    assert len(shapes) == 1  # uniform
+    stacked = stack_tasks([b.task for b in built])
+    assert stacked.support_x.shape[0] == 2
+
+
+def test_validate_exact_boundary_returns_inf_not_nan(trained):
+    """T == window + horizon leaves zero valid anchors; must return the
+    graceful inf-MSE result, never NaN metrics."""
+    cfg, _, _ = trained
+    t = cfg.model.window + cfg.model.horizon
+    region = synthetic_region_for_box(BOX_A, num_timesteps=t, seed=5, name="A")
+    vres = run_validation(
+        cfg, BOX_A, "Boundary", region=region, make_plots=False,
+        log_cb=lambda *_: None,
+    )
+    assert vres.results["average_mse"] == float("inf")
+
+
 def test_cli_info(capsys):
     from weatherforecast_stgcn_maml_tpu.cli import main
 

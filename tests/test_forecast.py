@@ -48,6 +48,12 @@ def test_run_forecast(trained):
     assert res.mean_forecast.shape == (h, 12)
     assert res.grid_forecast.shape == (h, 4, 4, 12)
     assert len(res.times) == h
+    # Window pairs skip the anchor step (quirk 13): the first forecast row
+    # is TWO steps after the last observation.
+    payload0 = json.load(open(res.artifact_path))
+    issued = np.datetime64(payload0["issued_from"])
+    first = np.datetime64(payload0["times"][0])
+    assert first - issued == np.timedelta64(2, "h")
     assert np.isfinite(res.mean_forecast).all()
     # Denormalized t2m should be in a physical Kelvin range, not z-units.
     t2m = res.mean_forecast[:, WEATHER_VARS.index("t2m")]

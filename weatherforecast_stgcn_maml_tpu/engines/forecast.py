@@ -72,7 +72,11 @@ def run_forecast(
     # The most recent full window (no target needed — this is inference).
     x = jnp.expand_dims(features[region.num_timesteps - model_cfg.window :], 0)
 
-    koppen = jnp.int32(max(region.koppen_code, 0))
+    # Same Koppen-code policy as adaptation/validation (quirk 6 flag) so
+    # serving matches what the adapted checkpoint was fine-tuned with.
+    koppen = jnp.int32(
+        0 if cfg.compat.koppen_zero_in_adapt else max(region.koppen_code, 0)
+    )
     predict = make_predict(model_cfg)
     preds = np.asarray(
         predict(params, x, jnp.asarray(graph.a_hat), koppen)
@@ -84,8 +88,13 @@ def run_forecast(
     )
     mean_forecast = denorm.mean(axis=1)  # [H, 12]
 
+    # Training pairs skip one step between the window and the first target
+    # (x = f[t-W : t], y = f[t+1 : t+1+H] — the anchor index t itself is
+    # never predicted; reference dataset.py semantics, quirk 13 in
+    # docs/REFERENCE_SEMANTICS.md). With the window ending at times[-1],
+    # the model's first output row is therefore times[-1] + 2*step.
     step = region.times[-1] - region.times[-2]
-    times = region.times[-1] + step * np.arange(1, model_cfg.horizon + 1)
+    times = region.times[-1] + step * np.arange(2, model_cfg.horizon + 2)
 
     out_dir = os.path.join(cfg.out_dir, "forecasts")
     os.makedirs(out_dir, exist_ok=True)

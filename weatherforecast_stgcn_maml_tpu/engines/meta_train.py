@@ -114,6 +114,23 @@ def run_meta_training(
         f"{built[0].graph.padded_nodes}"
     )
 
+    # When region failures shrink the task pool below meta_batch (or the
+    # configured batch/accum pair doesn't divide), adjust to the nearest
+    # valid decomposition instead of crashing at the first meta step.
+    import dataclasses as _dc
+
+    batch = min(meta_cfg.meta_batch, len(built))
+    accum = max(1, min(meta_cfg.grad_accum, batch))
+    while batch % accum:
+        accum -= 1
+    if (batch, accum) != (meta_cfg.meta_batch, meta_cfg.grad_accum):
+        log_cb(
+            f"[meta-train] adjusting meta_batch {meta_cfg.meta_batch}->"
+            f"{batch}, grad_accum {meta_cfg.grad_accum}->{accum} "
+            f"({len(built)} tasks available)"
+        )
+        meta_cfg = _dc.replace(meta_cfg, meta_batch=batch, grad_accum=accum)
+
     state = init_meta_state(jax.random.key(meta_cfg.seed), model_cfg, meta_cfg)
     params_n = hybrid_param_count(state.params)
     log_cb(f"[meta-train] hybrid model: {params_n:,} parameters")

@@ -102,7 +102,9 @@ def run_validation(
             ),
         )
 
-    needed = model_cfg.window + model_cfg.horizon
+    # At least one full (window, horizon) pair with its anchor step between
+    # them (data/windows.py: anchors live in [W, T - H), so T >= W + H + 1).
+    needed = model_cfg.window + model_cfg.horizon + 1
     total = region.num_timesteps
     if total < needed:
         log_cb(

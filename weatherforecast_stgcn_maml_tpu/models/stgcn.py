@@ -135,11 +135,8 @@ def apply_stgcn(
     SURVEY.md quirks).
     """
     dtype = resolve_dtype(cfg.compute_dtype)
-    enc_rng, head_rng = (
-        jax.random.split(rng) if rng is not None else (None, None)
-    )
     h = apply_encoder(
-        params["encoder"], a_hat, x, cfg, train=train, rng=enc_rng,
+        params["encoder"], a_hat, x, cfg, train=train, rng=rng,
         final_dropout=True,
     )
     last = h[..., -1, :, :]  # [..., N, hidden]

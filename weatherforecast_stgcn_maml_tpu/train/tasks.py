@@ -81,10 +81,20 @@ def build_task(
     if len(query_idx) == 0:  # degenerate tiny regions: reuse the tail
         query_idx = support_idx[-1:]
         support_idx = support_idx[:-1]
+    if len(support_idx) == 0 or len(query_idx) == 0:
+        raise ValueError(
+            f"region {region.name!r}: cannot form non-empty support and "
+            f"query sets from {n_samples} windows"
+        )
 
-    # Anchor t for sample i is window + i (data/windows.py).
-    support_used = support_idx[: meta_cfg.inner_batches]
-    query_used = query_idx[: max(1, meta_cfg.query_batches)]
+    # Anchor t for sample i is window + i (data/windows.py). Counts are
+    # padded by cycling (np.resize wraps) so every task ships exactly
+    # inner_batches support and query_batches query windows — vmap/stacking
+    # requires uniform shapes, and short regions simply revisit windows
+    # (the reference's unshuffled loader revisits them across inner epochs
+    # anyway, train_hybrid_maml_v5.py:121-127).
+    support_used = np.resize(support_idx, meta_cfg.inner_batches)
+    query_used = np.resize(query_idx, max(1, meta_cfg.query_batches))
     sx, sy = _materialize(features, spec.window + support_used, spec)
     qx, qy = _materialize(features, spec.window + query_used, spec)
 

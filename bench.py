@@ -85,6 +85,8 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     import jax
     import numpy as np
 
+    reps = max(1, reps)
+
     from weatherforecast_stgcn_maml_tpu.utils.profiling import block_until_ready
 
     state, step, tasks, graph = build_bench_inputs(quick, dtype)
@@ -298,7 +300,7 @@ def bench_workload_configs(dtype: str) -> dict:
         return masked_mse(preds, y, mask)
 
     out["forward_eval_us"] = timeit(
-        lambda: fwd_eval(params, x1, y1).block_until_ready()
+        lambda: float(np.asarray(fwd_eval(params, x1, y1)))
     ) * 1e6
 
     # Config 2: one supervised fine-tune epoch (adapt path), batch 8.
@@ -319,7 +321,7 @@ def bench_workload_configs(dtype: str) -> dict:
             sstate, features, batches, a_hat,
             mask, kop, jnp.float32(5e-4), jax.random.key(1),
         )
-        block_until_ready(losses)
+        np.asarray(losses)  # forced fetch (contended block_until_ready lies)
 
     epoch_s = timeit(one_epoch, reps=5)
     out["adapt_epoch_seconds"] = epoch_s
@@ -333,7 +335,7 @@ def bench_workload_configs(dtype: str) -> dict:
         lambda p, t, r: adapt_and_query_loss(p, t, r, model_cfg, meta_cfg)
     )
     out["single_task_inner_ms"] = timeit(
-        lambda: inner(params, task, jax.random.key(2)).block_until_ready()
+        lambda: float(np.asarray(inner(params, task, jax.random.key(2))))
     ) * 1e3
 
     # Config 5: dp-sharded meta step (needs >1 device).
@@ -360,7 +362,7 @@ def bench_workload_configs(dtype: str) -> dict:
 
         def dp_step():
             _, m = pstep(state, tasks, jax.random.key(3))
-            block_until_ready(m["meta_loss"])
+            float(np.asarray(m["meta_loss"]))
 
         out["dp_meta_step_ms"] = timeit(dp_step, reps=5) * 1e3
         out["dp_devices"] = use

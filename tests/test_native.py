@@ -44,6 +44,21 @@ def test_knn_edges_parity():
     np.testing.assert_array_equal(e_native, e_numpy)
 
 
+def test_knn_edges_parity_on_regular_grid_ties():
+    """Regular grids have equidistant candidates everywhere; both paths must
+    break ties identically ((distance, index) order) or models trained with
+    the .so would run on a different graph without it."""
+    from weatherforecast_stgcn_maml_tpu.graph import grid_node_positions
+
+    pos = grid_node_positions(np.arange(5.0) * 0.25, np.arange(5.0) * 0.25)
+    e_native = knn_edges(pos, k=4)
+    e_numpy = _with_numpy_path(lambda: knn_edges(pos, k=4))
+    np.testing.assert_array_equal(e_native, e_numpy)
+    a_native = normalized_adjacency(e_native, 25, pad_to=32)
+    a_numpy = _with_numpy_path(lambda: normalized_adjacency(e_numpy, 25, pad_to=32))
+    np.testing.assert_allclose(a_native, a_numpy, atol=1e-7)
+
+
 def test_normalized_adjacency_parity():
     rng = np.random.default_rng(1)
     pos = rng.uniform(0, 5, size=(30, 2))

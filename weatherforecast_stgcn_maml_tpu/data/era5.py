@@ -27,6 +27,7 @@ from weatherforecast_stgcn_maml_tpu.data.koppen import koppen_code_for_box
 from weatherforecast_stgcn_maml_tpu.data.region import (
     RegionData,
     region_cache_name,
+    slice_coord_dim,
     to_0360,
 )
 
@@ -46,13 +47,6 @@ def _require_xarray():
             "ERA5 NetCDF loading requires xarray/netCDF4 (`pip install .[era5]`). "
             "Use data.synthetic or NPZ caches on images without them."
         ) from e
-
-
-def _slice_dim(ds, dim: str, lo: float, hi: float):
-    """Slice a possibly descending coordinate (dataLoader.py:23-28 behavior)."""
-    coords = ds[dim].values
-    sel = slice(hi, lo) if coords[0] > coords[-1] else slice(lo, hi)
-    return ds.sel({dim: sel})
 
 
 def load_region(
@@ -83,11 +77,18 @@ def load_region(
                     if strict:
                         raise FileNotFoundError(fpath)
                     continue
-                ds = xr.open_dataset(fpath)
-                ds = _slice_dim(ds, "latitude", lat_min, lat_max)
-                ds = _slice_dim(ds, "longitude", lon_min, lon_max)
-                ds = ds.drop_vars("expver", errors="ignore")
-                streams.append(ds)
+                handle = xr.open_dataset(fpath)
+                try:
+                    ds = slice_coord_dim(handle, "latitude", lat_min, lat_max)
+                    ds = slice_coord_dim(ds, "longitude", lon_min, lon_max)
+                    ds = ds.drop_vars("expver", errors="ignore")
+                    # Materialize the (small) slice so the source file handle
+                    # can close now — 40 opens per region would otherwise
+                    # stay live until GC (fd exhaustion on fleet runs).
+                    streams.append(ds.load() if hasattr(ds, "load") else ds)
+                finally:
+                    if hasattr(handle, "close"):
+                        handle.close()
             if streams:
                 quarter_sets.append(xr.merge(streams, compat="override"))
     if not quarter_sets:
@@ -136,7 +137,11 @@ def load_region_cached(
     """Load a region through the NPZ cache (the TPU-friendly equivalent of
     the reference's single-file `.nc` cache, train_hybrid_maml_v5.py:76-84)."""
     os.makedirs(cfg.cache_dir, exist_ok=True)
-    key = region_cache_name(*box) + (f"_{tag}" if tag else "")
+    # The key must encode WHAT was cached, not just which pipeline stage
+    # asked: changing year ranges or quarters must miss, never serve stale
+    # data.
+    data_key = "y" + "+".join(years) + "_q" + "+".join(cfg.quarters)
+    key = region_cache_name(*box) + (f"_{tag}" if tag else "") + "_" + data_key
     path = os.path.join(cfg.cache_dir, key + ".npz")
     if os.path.exists(path):
         return RegionData.load_npz(path)

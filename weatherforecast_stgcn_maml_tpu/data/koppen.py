@@ -58,12 +58,13 @@ def koppen_code_for_box(
             "Reading Koppen NetCDF maps requires `pip install .[era5]`"
         ) from e
 
+    from weatherforecast_stgcn_maml_tpu.data.region import slice_coord_dim
+
     ds = xr.open_dataset(map_path)
-
-    def _slice(ds, dim, lo, hi):
-        coords = ds[dim].values
-        return ds.sel({dim: slice(hi, lo) if coords[0] > coords[-1] else slice(lo, hi)})
-
-    ds = _slice(ds, "lat", lat_min, lat_max)
-    ds = _slice(ds, "lon", lon_min, lon_max)
-    return majority_code(ds["MasterMap1"].values)
+    try:
+        sel = slice_coord_dim(ds, "lat", lat_min, lat_max)
+        sel = slice_coord_dim(sel, "lon", lon_min, lon_max)
+        return majority_code(sel["MasterMap1"].values)
+    finally:
+        if hasattr(ds, "close"):
+            ds.close()

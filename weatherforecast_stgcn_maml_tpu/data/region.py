@@ -23,6 +23,15 @@ def to_0360(lon: float) -> float:
     return lon if lon >= 0 else lon + 360.0
 
 
+def slice_coord_dim(ds, dim: str, lo: float, hi: float):
+    """Slice an xarray-like dataset along a possibly DESCENDING coordinate
+    (ERA5 latitudes run north->south; reference dataLoader.py:23-28).
+    Shared by the ERA5 loader and the Koppen map reader."""
+    coords = ds[dim].values
+    sel = slice(hi, lo) if len(coords) > 1 and coords[0] > coords[-1] else slice(lo, hi)
+    return ds.sel({dim: sel})
+
+
 def region_cache_name(lat_min, lat_max, lon_min, lon_max) -> str:
     """Canonical cache key for a region box (dataLoader.py:135 analogue)."""
     return f"lat{lat_min}-{lat_max}_lon{lon_min}-{lon_max}"

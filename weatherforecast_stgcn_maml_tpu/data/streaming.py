@@ -6,9 +6,9 @@ counts. For longer histories (or bigger grids) this module splits the
 anchor range into temporal chunks that fit a device budget; each chunk's
 features are shipped once per epoch and consecutive chunks overlap by
 `window + horizon` timesteps so every training window still exists exactly
-once. Host->HBM transfer of the next chunk overlaps device compute on the
-current one (JAX dispatch is async: `device_put` of chunk k+1 is issued
-before the chunk-k scan is awaited).
+once. The adaptation engine issues the next chunk's host->HBM transfer
+right after dispatching the current chunk's compiled epoch (both async),
+so the transfer overlaps compute up to the blocking loss fetch.
 """
 
 from __future__ import annotations

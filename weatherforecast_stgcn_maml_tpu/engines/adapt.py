@@ -178,20 +178,23 @@ def run_adaptation(
         ch = chunks[i]
         return jnp.asarray(features_np[ch.start : ch.stop])
 
+    active_chunks = [
+        ci for ci in range(len(chunks)) if len(train_anchor_sets[ci]) > 0
+    ]
+
     epoch_losses: list[float] = []
     lr = schedule.step(None)
     for epoch in range(ad.epochs):
         losses_all = []
-        for ci in range(len(chunks)):
-            anchors = train_anchor_sets[ci]
-            if len(anchors) == 0:
-                continue
+        feats = chunk_features(active_chunks[0]) if active_chunks else None
+        for pos, ci in enumerate(active_chunks):
             batches = _batch_anchors(
-                anchors, ad.batch_size, shuffle=ad.shuffle, rng=np_rng
+                train_anchor_sets[ci], ad.batch_size, shuffle=ad.shuffle,
+                rng=np_rng,
             )
             state, losses = run_epoch(
                 state,
-                chunk_features(ci),
+                feats,
                 jnp.asarray(batches),
                 a_hat,
                 node_mask,
@@ -201,6 +204,11 @@ def run_adaptation(
                     jax.random.key(ad.seed + 7), epoch * 1000 + ci
                 ),
             )
+            # Start the NEXT chunk's host->HBM transfer before blocking on
+            # this chunk's losses — device_put and the dispatched epoch are
+            # both async, so the transfer rides under the compute.
+            if pos + 1 < len(active_chunks):
+                feats = chunk_features(active_chunks[pos + 1])
             losses_all.append(np.asarray(losses))
         avg = float(np.concatenate(losses_all).mean())
         epoch_losses.append(avg)

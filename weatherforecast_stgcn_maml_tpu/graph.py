@@ -57,10 +57,12 @@ def knn_edges(positions: np.ndarray, k: int = 4) -> np.ndarray:
     # Pairwise squared distances; N is small (hundreds) so O(N^2) is fine.
     d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
     np.fill_diagonal(d2, np.inf)
-    # k smallest per row, then sort those k by distance for determinism.
-    nbr = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
-    order = np.argsort(np.take_along_axis(d2, nbr, axis=1), axis=1, kind="stable")
-    nbr = np.take_along_axis(nbr, order, axis=1)
+    # Full stable sort per row: ascending distance with ties broken by node
+    # index — the SAME deterministic order as the native C++ path
+    # (std::partial_sort over (dist, index) pairs). argpartition would pick
+    # an arbitrary member among equidistant candidates, which on regular
+    # grids (ties everywhere) made the two paths build different graphs.
+    nbr = np.argsort(d2, axis=1, kind="stable")[:, :k]
     dst = np.repeat(np.arange(n), k)
     src = nbr.reshape(-1)
     return np.stack([src, dst], axis=-1)

@@ -89,19 +89,22 @@ def _fused_fwd(w, b, a_hat, h, compute_dtype):
 
 
 def _fused_bwd(compute_dtype, res, g):
+    from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype
+
     w, a_hat, h, out = res
     g = jnp.where(out > 0, g, 0.0)  # ReLU gate
     dt = compute_dtype
+    acc = accum_dtype(dt)
     # out = A @ (H W) + b ; dA-term not needed (A is a static buffer).
     # dH = A^T @ g @ W^T ; dW = H^T @ (A^T @ g) ; db = sum(g).
     atg = jnp.einsum(
         "nm,...nc->...mc", a_hat.astype(dt), g.astype(dt),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
-    dh = jnp.dot(atg.astype(dt), w.T.astype(dt), preferred_element_type=jnp.float32)
+    dh = jnp.dot(atg.astype(dt), w.T.astype(dt), preferred_element_type=acc)
     dw = jnp.einsum(
         "...mi,...mc->ic", h.astype(dt), atg.astype(dt),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
     db = g.sum(axis=tuple(range(g.ndim - 1)))
     da = jnp.zeros_like(a_hat)

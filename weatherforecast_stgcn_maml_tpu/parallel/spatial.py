@@ -134,6 +134,11 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
         h = _spatial_encoder(
             params["encoder"], a_rows, h, model_cfg, axis, train=True, rng=enc_rng
         )
+        if model_cfg.stop_base_gradients:
+            # Same honest-freeze semantics as the single-device path
+            # (models/hybrid.py); pair with an optax.masked optimizer to
+            # also exclude the encoder from weight decay.
+            h = jax.lax.stop_gradient(h)
         h = jnp.swapaxes(h, 0, 1)
         feat = apply_lstm(
             params["lstm"], h,

@@ -49,6 +49,25 @@ def _add_common(p):
     )
 
 
+def _log_stderr(*args):
+    """Engine progress goes to stderr so stdout stays machine-readable
+    (the validate subcommand prints a JSON document)."""
+    print(*args, file=sys.stderr)
+
+
+def _json_safe(obj):
+    """Replace non-finite floats (json.dumps would emit invalid `Infinity`)."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return str(obj)
+    return obj
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="wfstgcn", description="TPU-native MAML-STGCN-LSTM weather forecasting"
@@ -102,7 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="convert a reference PyTorch .pt checkpoint into this framework",
     )
     imp.add_argument("path", help="reference .pt checkpoint")
-    imp.add_argument("--out", help="output checkpoint dir (default: out/meta/ckpt_best)")
+    imp.add_argument(
+        "--out",
+        help="output checkpoint dir (default: out/meta/ckpt_best, or the "
+        "region's adapted-checkpoint path with --region/--box)",
+    )
     imp.add_argument(
         "--region",
         help="import as an ADAPTED checkpoint for this named region "
@@ -182,8 +205,10 @@ def main(argv=None) -> int:
         from weatherforecast_stgcn_maml_tpu.engines.validate import run_validation
 
         box, name = _resolve_region(args)
-        res = run_validation(cfg, box, name, make_plots=not args.no_plots)
-        print(json.dumps(res.results, indent=2))
+        res = run_validation(
+            cfg, box, name, make_plots=not args.no_plots, log_cb=_log_stderr
+        )
+        print(json.dumps(_json_safe(res.results), indent=2))
         return 0
 
     if args.command == "forecast":
@@ -195,7 +220,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "import-checkpoint":
-        from weatherforecast_stgcn_maml_tpu.config import to_dict as cfg_to_dict
         from weatherforecast_stgcn_maml_tpu.utils.checkpoint import save_checkpoint
         from weatherforecast_stgcn_maml_tpu.utils.torch_import import (
             import_torch_checkpoint,
@@ -207,7 +231,7 @@ def main(argv=None) -> int:
             "imported_from": args.path,
             "epoch": int(meta.get("epoch", -1)),
             "stats": stats.to_dict() if stats is not None else None,
-            "config": {**cfg_to_dict(cfg), "model": cfg_to_dict(model_cfg)},
+            "config": {**to_dict(cfg), "model": to_dict(model_cfg)},
         }
         if args.region or args.box:
             from weatherforecast_stgcn_maml_tpu.engines.adapt import (
@@ -241,6 +265,7 @@ def main(argv=None) -> int:
         from weatherforecast_stgcn_maml_tpu.data.koppen import class_name
         from weatherforecast_stgcn_maml_tpu.data.preprocess import (
             compute_stats,
+            fill_nans_with_mean,
             nan_percentages,
         )
         from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
@@ -256,9 +281,13 @@ def main(argv=None) -> int:
         region = get_region_data(box, years, cfg.data, tag=args.years, name=name)
         pct = nan_percentages(region.weather)
         t, la, lo, _ = region.weather.shape
-        stats = compute_stats(
-            np.nan_to_num(region.weather.reshape(t, la * lo, -1), nan=0.0)
+        # Same NaN policy as the real pipeline (prepare_features): fill with
+        # the per-variable nanmean, THEN compute stats — zero-filling would
+        # report stats the model never sees.
+        filled = fill_nans_with_mean(
+            region.weather.reshape(t, la * lo, -1).astype(np.float32)
         )
+        stats = compute_stats(filled)
         g = build_region_graph(region.lats, region.lons, k_neighbors=cfg.data.k_neighbors)
         print(f"region {name} {tuple(box)} — {args.years} years {years}")
         print(
@@ -282,12 +311,17 @@ def main(argv=None) -> int:
         regions = None
         if args.regions:
             regions = [_region_by_name(n.strip()) for n in args.regions.split(",")]
-        if args.shard is None and args.num_shards is None:
-            shard, num = 0, 1
-        elif args.shard is not None and args.num_shards is not None:
+        if args.shard is not None and args.num_shards is not None:
             shard, num = args.shard, args.num_shards
-        else:
+        elif args.shard is None and args.num_shards is None:
+            # jax.distributed-aware: (process_index, process_count); plain
+            # single-process hosts get (0, 1).
             shard, num = auto_shard()
+        else:
+            raise SystemExit(
+                "pass BOTH --shard and --num-shards (explicit partitioning) "
+                "or neither (auto from the jax process topology)"
+            )
         res = run_pipeline(
             cfg,
             regions,

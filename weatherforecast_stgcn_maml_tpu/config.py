@@ -317,12 +317,23 @@ def _coerce(raw: str, current: Any) -> Any:
         return int(raw)
     if isinstance(current, float):
         return float(raw)
+    if isinstance(current, tuple):
+        # Comma-separated values, element type taken from the existing tuple
+        # (e.g. -o data.train_years=2021,2022 or -o data.quarters=Q1,Q2).
+        parts = [p for p in raw.split(",") if p != ""]
+        elem = current[0] if current else ""
+        return tuple(_coerce(p, elem) for p in parts)
     return raw
 
 
 def _replace_path(cfg: Any, keys: Sequence[str], raw: str) -> Any:
     if len(keys) == 1:
         current = getattr(cfg, keys[0])
+        if dataclasses.is_dataclass(current):
+            raise ValueError(
+                f"{keys[0]!r} is a config section, not a settable leaf — "
+                f"override one of its fields (e.g. {keys[0]}.<field>=...)"
+            )
         return dataclasses.replace(cfg, **{keys[0]: _coerce(raw, current)})
     child = getattr(cfg, keys[0])
     return dataclasses.replace(cfg, **{keys[0]: _replace_path(child, keys[1:], raw)})

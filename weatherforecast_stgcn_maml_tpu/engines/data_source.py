@@ -46,7 +46,11 @@ def get_region_data(
         )
     # Seed differs by (box, tag) so train/adapt/validate years yield
     # different-but-deterministic data, like distinct ERA5 year ranges.
-    seed = abs(hash((box, tag))) % (2**31)
+    # crc32, not hash(): str hashing is salted per process and would give
+    # every invocation different "deterministic" data.
+    import zlib
+
+    seed = zlib.crc32(repr((box, tag)).encode()) % (2**31)
     return synthetic_region_for_box(
         box, num_timesteps=t, seed=seed, name=name or f"synthetic{box}"
     )

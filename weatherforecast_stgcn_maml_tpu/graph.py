@@ -173,6 +173,8 @@ def build_distance_weighted_graph(
     positions = grid_node_positions(lats, lons)
     n = positions.shape[0]
     size = pad_to if pad_to is not None else round_up(n)
+    if size < n:
+        raise ValueError(f"pad_to={size} < num_nodes={n}")
 
     d = np.sqrt(
         np.sum((positions[:, None, :] - positions[None, :, :]) ** 2, axis=-1)

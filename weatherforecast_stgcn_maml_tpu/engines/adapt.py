@@ -183,7 +183,11 @@ def run_adaptation(
     ]
 
     epoch_losses: list[float] = []
-    lr = schedule.step(None)
+    # Reference phase: epoch 1 trains at the optimizer's initial lr
+    # (base*mult); the scheduler steps AFTER each epoch to set the next
+    # one's lr (adapt_hybrid_v5.py:171-208). Stepping before epoch 1 would
+    # shift the cosine phase and double-apply the climate multiplier there.
+    lr = lr0
     for epoch in range(ad.epochs):
         losses_all = []
         feats = chunk_features(active_chunks[0]) if active_chunks else None
@@ -219,24 +223,28 @@ def run_adaptation(
         )
         lr = schedule.step(avg)
 
-    val_parts = []
+    # Exact per-window validation MSE: pad the final batch by repeating the
+    # last anchor, then drop the padding losses before aggregating (the
+    # training loop's wrap-padding would double-count early windows here).
+    total_se, total_n = 0.0, 0
     for ci in range(len(chunks)):
-        anchors = val_anchor_sets[ci]
+        anchors = np.asarray(val_anchor_sets[ci])
         if len(anchors) == 0:
             continue
-        val_batches = _batch_anchors(
-            anchors, ad.batch_size, shuffle=False, rng=np_rng
+        b = max(1, min(ad.batch_size, len(anchors)))
+        nb = -(-len(anchors) // b)
+        padded = np.concatenate(
+            [anchors, np.full(nb * b - len(anchors), anchors[-1])]
         )
-        mse = float(
+        per_window = np.asarray(
             run_eval(
-                state.params, chunk_features(ci), jnp.asarray(val_batches),
-                a_hat, node_mask, koppen,
+                state.params, chunk_features(ci),
+                jnp.asarray(padded.reshape(nb, b)), a_hat, node_mask, koppen,
             )
-        )
-        val_parts.append((mse, len(val_batches)))
-    val_mse = float(
-        sum(m * n for m, n in val_parts) / max(1, sum(n for _, n in val_parts))
-    )
+        ).reshape(-1)[: len(anchors)]
+        total_se += float(per_window.sum())
+        total_n += len(anchors)
+    val_mse = total_se / max(1, total_n)
     log_cb(f"[adapt:{region_name}] validation MSE {val_mse:.6f}")
 
     path = adapted_ckpt_path(out_dir, region_name, box)

@@ -35,11 +35,7 @@ from weatherforecast_stgcn_maml_tpu.train.maml import (
     make_jit_meta_step,
 )
 from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
-from weatherforecast_stgcn_maml_tpu.train.tasks import (
-    build_meta_tasks,
-    select_tasks,
-    stage_tasks,
-)
+from weatherforecast_stgcn_maml_tpu.train.tasks import select_tasks, stage_tasks
 from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
@@ -108,7 +104,25 @@ def run_meta_training(
 
     timer = Timer()
     with timer.span("task_build"):
-        built = build_meta_tasks(regions, model_cfg, meta_cfg, cfg.data)
+        # Per-region isolation extends to task CONSTRUCTION (degenerate
+        # regions — e.g. truncated histories — must not kill the run,
+        # train_hybrid_maml_v5.py:225-231 semantics).
+        from weatherforecast_stgcn_maml_tpu.train.tasks import (
+            build_task,
+            common_padded_nodes,
+        )
+
+        pad = common_padded_nodes(regions)
+        built = []
+        for r in regions:
+            try:
+                built.append(
+                    build_task(r, model_cfg, meta_cfg, cfg.data, pad_to=pad)
+                )
+            except Exception as e:
+                log_cb(f"[meta-train] skipping region {r.name!r}: {e}")
+    if not built:
+        raise RuntimeError("no meta-training tasks could be built")
     log_cb(
         f"[meta-train] {len(built)} tasks, padded nodes="
         f"{built[0].graph.padded_nodes}"
@@ -158,7 +172,10 @@ def run_meta_training(
     final_path = os.path.join(out_dir, "ckpt_final")
     last_path = os.path.join(out_dir, "ckpt_last")
 
+    task_names = [b.region_name or f"task{i}" for i, b in enumerate(built)]
+
     start_epoch, best_loss = 0, float("inf")
+    resumed_meta: dict = {}
     if resume and checkpoint_exists(last_path):
         arrays, meta = load_checkpoint(
             last_path, like={"params": state.params, "opt_state": state.opt_state}
@@ -168,11 +185,34 @@ def run_meta_training(
             opt_state=arrays["opt_state"],
             step=np.int32(meta["step"]),
         )
-        sampler.difficulty = np.asarray(meta["sampler_difficulty"], np.float64)
-        sampler.seen = np.asarray(meta["sampler_seen"], bool)
+        # Sampler state is only meaningful if the task pool is identical
+        # (same regions, same order); otherwise indices would attribute
+        # difficulties to the wrong regions — reset in that case.
+        if meta.get("task_names") == task_names:
+            sampler.difficulty = np.asarray(meta["sampler_difficulty"], np.float64)
+            sampler.seen = np.asarray(meta["sampler_seen"], bool)
+            rng_state = meta.get("sampler_rng_state")
+            if rng_state is not None:
+                sampler._rng.bit_generator.state = rng_state
+        else:
+            log_cb(
+                "[meta-train] task pool changed since the checkpoint — "
+                "resetting the difficulty sampler"
+            )
         start_epoch = int(meta["epoch"]) + 1
         best_loss = float(meta["best_loss"])
+        resumed_meta = meta
         log_cb(f"[meta-train] resumed at epoch {start_epoch} (best {best_loss:.4f})")
+
+    def _rng_state_jsonable():
+        import json as _json
+
+        # bit_generator.state nests numpy scalars/arrays; round-trip through
+        # the checkpoint's JSON encoder (which handles numpy types).
+        return _json.loads(_json.dumps(
+            sampler._rng.bit_generator.state,
+            default=lambda o: o.item() if hasattr(o, "item") else list(o),
+        ))
 
     def ckpt_meta(epoch, loss):
         return {
@@ -184,9 +224,26 @@ def run_meta_training(
             "best_loss": best_loss,
             "total_params": params_n,
             "config": to_dict(cfg),
+            "task_names": task_names,
             "sampler_difficulty": sampler.difficulty.tolist(),
             "sampler_seen": sampler.seen.tolist(),
+            "sampler_rng_state": _rng_state_jsonable(),
         }
+
+    if start_epoch >= meta_cfg.num_epochs:
+        # Nothing left to train — do NOT overwrite final with a NaN loss.
+        log_cb(
+            f"[meta-train] checkpoint already at epoch {start_epoch} >= "
+            f"num_epochs {meta_cfg.num_epochs}; nothing to do"
+        )
+        return MetaTrainResult(
+            best_loss=best_loss,
+            final_loss=float(resumed_meta.get("meta_loss", best_loss)),
+            best_path=best_path,
+            final_path=final_path,
+            epochs_run=0,
+            param_count=params_n,
+        )
 
     # Upload the whole task pool to HBM once; per-epoch batches are cut with
     # a device-side gather (no host transfer inside the training loop).

@@ -121,7 +121,11 @@ def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
 
 
 def make_batched_eval(model_cfg: ModelConfig, spec: WindowSpec):
-    """Compiled evaluation over `[nb, B]` anchor batches -> mean MSE."""
+    """Compiled evaluation over `[nb, B]` anchor batches.
+
+    Returns per-WINDOW MSEs `[nb, B]` (not per-batch means) so callers can
+    drop padding windows and aggregate with exact per-window weighting.
+    """
 
     @jax.jit
     def run_eval(params, features, anchor_batches, a_hat, node_mask, koppen):
@@ -130,10 +134,13 @@ def make_batched_eval(model_cfg: ModelConfig, spec: WindowSpec):
             preds = batched_forward(
                 params, a_hat, x, koppen, model_cfg, train=False, rng=None
             )
-            return None, masked_mse(preds, y, node_mask)
+            per_window = jax.vmap(
+                lambda p, t: masked_mse(p, t, node_mask)
+            )(preds, y)
+            return None, per_window
 
         _, losses = jax.lax.scan(body, None, anchor_batches)
-        return losses.mean()
+        return losses
 
     return run_eval
 

@@ -42,14 +42,20 @@ class BuiltTask:
 def _materialize(features: np.ndarray, anchors: np.ndarray, spec: WindowSpec):
     """Host-side window materialization for a small set of anchors."""
     from weatherforecast_stgcn_maml_tpu import native
+    from weatherforecast_stgcn_maml_tpu.config import NUM_WEATHER_VARS
 
     out = native.gather_windows_native(
-        features, anchors, spec.window, spec.horizon, y_channels=12
+        features, anchors, spec.window, spec.horizon, y_channels=NUM_WEATHER_VARS
     )
     if out is not None:
         return out
     xs = np.stack([features[a - spec.window : a] for a in anchors])
-    ys = np.stack([features[a + 1 : a + 1 + spec.horizon, :, :12] for a in anchors])
+    ys = np.stack(
+        [
+            features[a + 1 : a + 1 + spec.horizon, :, :NUM_WEATHER_VARS]
+            for a in anchors
+        ]
+    )
     return xs.astype(np.float32), ys.astype(np.float32)
 
 

@@ -78,7 +78,89 @@ def build_bench_inputs(quick: bool, dtype: str):
     tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
     state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
     step = make_jit_meta_step(model_cfg, meta_cfg)
-    return state, step, tasks, built[0].graph
+    return state, step, tasks, built[0].graph, model_cfg, meta_cfg
+
+
+# Peak dense-matmul throughput per chip, bf16 with f32 accumulation
+# (public TPU spec sheets). Used only to derive a physical LOWER BOUND on
+# step time — never a performance claim. f32 inputs also ride the MXU on
+# TPU (default matmul precision), so the bf16 peak is a valid bound for
+# both dtypes.
+TPU_BF16_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6": 918e12,  # Trillium
+}
+
+
+def _bf16_peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in TPU_BF16_PEAK_FLOPS.items():
+        if key in kind:
+            return peak
+    return 197e12  # unknown TPU: assume v5e-class
+
+
+def flops_per_meta_step(state, tasks, model_cfg, meta_cfg) -> float:
+    """Physically-derived FLOPs of ONE meta step.
+
+    XLA's `cost_analysis` counts a `lax.scan` body ONCE regardless of trip
+    count, so cost analysis of the full meta step undercounts ~100x (the
+    round-1 roofline made exactly that mistake). Instead: cost-analyze a
+    single inner SGD gradient step, then multiply by the real trip counts —
+    meta_batch tasks x (inner_epochs x S support steps + Q query fwd/bwd,
+    where a query grad costs about one inner grad).
+    """
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+    from weatherforecast_stgcn_maml_tpu.models.registry import apply_model
+
+    task0 = jax.tree.map(lambda x: x[0], tasks)
+
+    def support_loss(p, x, y, rng):
+        preds = apply_model(
+            p, task0.a_hat, x, task0.koppen, model_cfg, train=True, rng=rng
+        )
+        return masked_mse(preds, y, task0.node_mask)
+
+    def one_inner_grad(p, rng):
+        return jax.grad(support_loss)(
+            p, task0.support_x[0], task0.support_y[0], rng
+        )
+
+    lowered = jax.jit(one_inner_grad).lower(state.params, jax.random.key(0))
+    analysis = lowered.cost_analysis() or {}
+    inner_flops = float(analysis.get("flops", 0.0))
+    if inner_flops <= 0.0:  # backend without client-side cost analysis
+        inner_flops = _analytic_inner_flops(model_cfg, int(task0.a_hat.shape[0]))
+
+    batch = int(tasks.support_x.shape[0])
+    s = int(tasks.support_x.shape[1])
+    steps = meta_cfg.inner_epochs * s + min(
+        meta_cfg.query_batches, int(tasks.query_x.shape[1])
+    )
+    return batch * steps * inner_flops
+
+
+def _analytic_inner_flops(cfg, n: int) -> float:
+    """Fallback matmul-FLOP estimate of one fwd+bwd inner step (bwd ~ 2x fwd)."""
+    w, ch, lh = cfg.window, cfg.hidden_channels, cfg.lstm_hidden
+    gcn = 0.0
+    c_in = cfg.in_channels
+    for _ in range(cfg.gcn_layers):
+        gcn += w * (2.0 * n * c_in * ch + 2.0 * n * n * ch)
+        c_in = ch
+    lstm, inp = 0.0, ch
+    for _ in range(cfg.lstm_layers):
+        lstm += 2.0 * n * w * 4.0 * lh * (inp + lh)
+        inp = lh
+    head = 2.0 * n * lh * cfg.num_weather_vars * cfg.horizon
+    return 3.0 * (gcn + lstm + head)
 
 
 def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
@@ -89,11 +171,25 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
 
     from weatherforecast_stgcn_maml_tpu.utils.profiling import block_until_ready
 
-    state, step, tasks, graph = build_bench_inputs(quick, dtype)
+    state, step, tasks, graph, model_cfg, meta_cfg = build_bench_inputs(quick, dtype)
     _log(
         f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
         f"nodes={graph.num_nodes} (padded {graph.padded_nodes}) dtype={dtype}"
     )
+
+    # Physical lower bound on step time: derived FLOPs / chip bf16 peak.
+    # At reference scale this is ~2.4e13 FLOPs => >= ~122 ms on a v5e even
+    # at 100% MFU; any smaller reading is a measurement artifact, not speed.
+    step_flops = flops_per_meta_step(state, tasks, model_cfg, meta_cfg)
+    on_tpu = jax.default_backend() == "tpu"
+    # Quick-mode shapes are dispatch-latency-bound; MFU against the floor is
+    # meaningless there, so the floor gates nothing in quick mode.
+    floor_s = step_flops / _bf16_peak_flops() if on_tpu and not quick else None
+    if floor_s is not None:
+        _log(
+            f"[bench] derived {step_flops:.3e} FLOPs/meta-step -> physical "
+            f"floor {floor_s * 1e3:.0f} ms/step at 100% bf16 MFU"
+        )
 
     t0 = time.perf_counter()
     state, metrics = step(state, tasks, jax.random.key(1))
@@ -107,16 +203,20 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
 
     # The shared TPU pool behind the tunnel shows ~60x contention swings
     # (benchmarks/e2e_tpu_run.md). On TPU: sample in short bursts within a
-    # time budget, keep the global best, and stop early once a step lands
-    # within striking distance of the known clean-window figure. Other
-    # backends have no pool contention — one burst, no retry, no warning.
-    on_tpu = jax.default_backend() == "tpu"
-    clean_step_s = 0.040 if not quick else 0.002  # measured TPU clean-window
+    # time budget and keep the global best. Stop early when (a) a step
+    # reaches CLEAN_MFU of the physical floor (clearly uncontended), or
+    # (b) the window is stable — repeated bursts stop improving the best,
+    # so more sampling would not change the answer. Other backends have no
+    # pool contention — one burst, no retry, no warning.
+    CLEAN_MFU = 0.125  # best <= floor/CLEAN_MFU counts as a clean window
+    clean_thresh_s = (floor_s / CLEAN_MFU) if floor_s is not None else float("inf")
     budget_s = (360.0 if not quick else 20.0) if on_tpu else 0.0
     times = []
     burst_avgs = []
     t_start = time.perf_counter()
     burst = 0
+    stale_bursts = 0
+    best = float("inf")
     while True:
         for r in range(reps):
             t0 = time.perf_counter()
@@ -129,25 +229,29 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
                 break  # bound budget overshoot to about one step
         burst_times = times[-(r + 1) :]
         burst_avgs.append((min(burst_times), sum(burst_times) / len(burst_times)))
+        prev_best = best
         best = min(times)
+        stale_bursts = stale_bursts + 1 if best > 0.95 * prev_best else 0
         elapsed = time.perf_counter() - t_start
         _log(
             f"[bench] burst {burst}: best {min(burst_times) * 1e3:.1f}ms, "
             f"global best {best * 1e3:.1f}ms (elapsed {elapsed:.0f}s)"
         )
-        if best <= 3 * clean_step_s or elapsed > budget_s:
+        if best <= clean_thresh_s or elapsed > budget_s or stale_bursts >= 3:
             break
         burst += 1
         time.sleep(min(20.0, max(0.0, budget_s - elapsed)))
     # Average of the best burst only: comparable across runs regardless of
     # how long contention sampling lasted.
     avg = min(burst_avgs, key=lambda ba: ba[0])[1]
-    contended = on_tpu and best > 3 * clean_step_s
+    contended = floor_s is not None and best > clean_thresh_s
+    mfu = (floor_s / best) if floor_s is not None else None
     if contended:
         _log(
-            "[bench] WARNING: no uncontended window found within the budget; "
-            "the reported value understates hardware capability "
-            f"(clean-window reference: {clean_step_s * 1e3:.0f}ms/step)"
+            "[bench] WARNING: best step achieved "
+            f"{mfu * 100:.1f}% of bf16 peak (< {CLEAN_MFU * 100:.0f}% "
+            "threshold); the shared pool's known ~60x contention swings "
+            "likely understate hardware capability in this window"
         )
     _log(f"[bench] steady-state step: best {best * 1e3:.1f}ms avg {avg * 1e3:.1f}ms")
     return {
@@ -157,6 +261,10 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
         "compile_seconds": compile_s,
         "meta_loss": float(metrics["meta_loss"]),
         "backend": jax.default_backend(),
+        "dtype": dtype,
+        "flops_per_step": step_flops,
+        "floor_seconds_bf16_peak": floor_s,
+        "mfu_vs_bf16_peak": mfu,
         "contended": contended,
         "num_timed_steps": len(times),
     }
@@ -397,7 +505,11 @@ def main(argv=None) -> int:
         "--all-configs", action="store_true",
         help="also measure the other BASELINE.json workload configs",
     )
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument(
+        "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+        help="headline runs bf16 (convergence-certified, benchmarks/"
+        "e2e_tpu_run.md); pass float32 for the secondary comparison line",
+    )
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -424,14 +536,20 @@ def main(argv=None) -> int:
         }
     else:
         unit = (
-            "meta-epochs/s (4 tasks x 90 inner steps, 441-node regions, "
-            "~860K-param hybrid)"
+            f"meta-epochs/s, {result['dtype']} (4 tasks x 90 inner steps, "
+            "441-node regions, ~860K-param hybrid; vs_baseline is vs the "
+            "measured torch reference workload on HOST CPU — no GPU exists "
+            "in this image, see benchmarks/baseline_torch.json)"
         )
-        if result.get("contended"):
+        if result.get("mfu_vs_bf16_peak") is not None:
             unit += (
-                " [MEASURED UNDER POOL CONTENTION — understates hardware; "
-                "clean-window reference: ~25-30/s]"
+                f" [physical floor {result['floor_seconds_bf16_peak'] * 1e3:.0f}"
+                f" ms/step at 100% bf16 MFU; this run: "
+                f"{result['mfu_vs_bf16_peak'] * 100:.1f}% MFU"
             )
+            if result.get("contended"):
+                unit += "; likely pool-contended window"
+            unit += "]"
         line = {
             "metric": "maml_meta_steps_per_sec",
             "value": round(value, 4),

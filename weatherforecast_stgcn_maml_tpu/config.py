@@ -173,8 +173,9 @@ class MetaConfig:
     # per-task query losses.
     difficulty_ema: float = 0.9
     # Write the resumable `ckpt_last` every N epochs (best/final are always
-    # written). At reference scale a meta step is ~35 ms but a checkpoint
-    # write is ~1 s, so per-epoch saves would dominate wall-clock.
+    # written). A checkpoint write is ~1 s through the tunnel, comparable to
+    # a meta step (physical floor ~0.12 s/step at bf16 peak — see bench.py's
+    # flops_per_meta_step), so per-epoch saves would dominate wall-clock.
     checkpoint_every: int = 5
 
 

@@ -71,13 +71,16 @@ def _load_regions(cfg: ExperimentConfig, max_workers: int = 4) -> list[RegionDat
             box, cfg.data.train_years, cfg.data, tag="train", name=f"region{i}"
         )
 
+    # Deterministic ordering: collect by META_TRAIN_REGIONS index, not by
+    # thread completion. Task order feeds the difficulty sampler's indices,
+    # so a failed region must drop out without reshuffling the rest.
     regions = []
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = {
-            pool.submit(load, (i, box)): box
+        futures = [
+            (pool.submit(load, (i, box)), box)
             for i, box in enumerate(META_TRAIN_REGIONS)
-        }
-        for fut, box in futures.items():
+        ]
+        for fut, box in futures:
             try:
                 regions.append(fut.result())
             except Exception as e:

@@ -52,6 +52,17 @@ class ValidationResult:
     model_kind: str  # "adapted" | "base"
 
 
+def _mean_metric_dicts(dicts: list[dict]) -> dict:
+    """Average identically-shaped metric dicts leaf-wise."""
+    out = {}
+    for key, value in dicts[0].items():
+        if isinstance(value, dict):
+            out[key] = _mean_metric_dicts([d[key] for d in dicts])
+        else:
+            out[key] = float(np.mean([d[key] for d in dicts]))
+    return out
+
+
 def _load_params_and_stats(cfg: ExperimentConfig, box, region_name, log_cb):
     """Adapted checkpoint first, base fallback (validate_hybrid_v5.py:35-110)."""
     from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
@@ -160,21 +171,13 @@ def run_validation(
         true_avg = true_avg_b.mean(axis=0)
         results = variable_metrics(pred_avg, true_avg, stats)
     else:
-        per = [
+        # Score each window separately, then average the metric dicts
+        # leaf-wise (per-variable {"mse","mae"} plus scalar summaries).
+        per_window = [
             variable_metrics(pred_avg_b[i], true_avg_b[i], stats)
             for i in range(num)
         ]
-        results = {
-            k: (
-                {
-                    "mse": float(np.mean([p[k]["mse"] for p in per])),
-                    "mae": float(np.mean([p[k]["mae"] for p in per])),
-                }
-                if isinstance(per[0][k], dict)
-                else float(np.mean([p[k] for p in per]))
-            )
-            for k in per[0]
-        }
+        results = _mean_metric_dicts(per_window)
         pred_avg, true_avg = pred_avg_b.mean(axis=0), true_avg_b.mean(axis=0)
 
     # t2m table on the first window's timeline.

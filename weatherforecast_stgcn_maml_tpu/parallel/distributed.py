@@ -13,9 +13,11 @@ slice) and DCN (across slices). This module wraps the boilerplate:
   * The region-adaptation fleet needs no collectives at all: use
     `parallel/fleet.py:auto_shard()` to partition regions by process.
 
-These paths cannot be exercised on this single-host image (SURVEY.md test
-strategy (d) covers the sharding logic on a virtual mesh instead); they are
-the standard jax.distributed recipe and kept deliberately thin.
+No multi-host TPU hardware exists on this image, but the recipe itself IS
+executed: tests/test_distributed.py spawns two OS processes that join a
+coordination service on localhost (CPU backend, 2 fake devices each),
+build the global mesh, and run a cross-process psum. SURVEY.md test
+strategy (d) covers the sharding logic on a virtual mesh in addition.
 """
 
 from __future__ import annotations

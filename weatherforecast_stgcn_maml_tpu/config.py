@@ -116,21 +116,42 @@ class ModelConfig:
     # sequential time loop dominates, not weight refetch), so default off;
     # kept for larger-batch serving regimes where it may win.
     use_pallas_lstm: bool = False
+    # Unroll factor for the LSTM time scan. The recurrent matmul is tiny
+    # ([B,H] @ [H,4H]) so a rolled scan's per-trip overhead dominates the
+    # hybrid's inner-loop latency; full unroll of the W=24 loop measured
+    # 31% faster LSTM grads and ~20% faster full meta steps in one window
+    # (benchmarks/perf_probe.py; partial unroll=6 was WORSE than rolled).
+    # 0 = unroll fully (trip count W).
+    lstm_unroll: int = 0
+    # Append 2 within-box relative-coordinate channels ([-1,1]-normalized
+    # lat/lon) to the node features. Box-invariance experiment (ROADMAP #2 /
+    # benchmarks/transfer_study.md): gives the model position-in-box
+    # awareness without absolute-location shortcuts. Off by default —
+    # reference parity has no such channels.
+    relative_coords: bool = False
 
     @property
-    def in_channels(self) -> int:  # 12 + 4 + 8 = 24
-        return self.num_weather_vars + self.num_time_vars + self.koppen_dim
+    def coord_channels(self) -> int:
+        return 2 if self.relative_coords else 0
+
+    @property
+    def in_channels(self) -> int:  # 12 + 4 + 8 (+2) = 24 (26)
+        return (
+            self.num_weather_vars + self.num_time_vars + self.koppen_dim
+            + self.coord_channels
+        )
 
     @property
     def feature_channels(self) -> int:
-        """Channels of precomputed features [T, N, C]: weather + time.
+        """Channels of precomputed features [T, N, C]: weather + time
+        (+ optional relative coords).
 
         Unlike the reference — which bakes the (consequently never-trained)
         Koppen embedding into the feature tensor at task-build time
         (featurePreprocessor.py:169-177) — the embedding is looked up inside
         the model so it receives real gradients.
         """
-        return self.num_weather_vars + self.num_time_vars
+        return self.num_weather_vars + self.num_time_vars + self.coord_channels
 
 
 @dataclass(frozen=True)

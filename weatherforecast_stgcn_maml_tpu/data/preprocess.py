@@ -82,13 +82,35 @@ def compute_stats(weather_nodes: np.ndarray) -> NormStats:
     return NormStats(mean=mean.astype(np.float32), std=std.astype(np.float32))
 
 
+def relative_coord_channels(region: RegionData) -> np.ndarray:
+    """[N, 2] within-box coordinates, each axis scaled to [-1, 1].
+
+    Box-invariant by construction: two boxes of different absolute location
+    produce identical channels, so the model can learn position-in-box
+    structure without an absolute-location shortcut (ROADMAP #2)."""
+
+    def scaled(v):
+        v = np.asarray(v, np.float32)
+        span = v.max() - v.min()
+        if span <= 0:
+            return np.zeros_like(v)
+        return 2.0 * (v - v.min()) / span - 1.0
+
+    lat_g, lon_g = np.meshgrid(
+        scaled(region.lats), scaled(region.lons), indexing="ij"
+    )
+    return np.stack([lat_g.ravel(), lon_g.ravel()], axis=-1).astype(np.float32)
+
+
 def prepare_features(
     region: RegionData,
     *,
     normalize: bool = True,
     stats: NormStats | None = None,
+    rel_coords: bool = False,
 ) -> tuple[np.ndarray, NormStats]:
-    """Build the [T, N, 16] feature tensor (12 weather z-scored + 4 time).
+    """Build the [T, N, 16(+2)] feature tensor (12 weather z-scored + 4 time
+    + optional relative coordinates, model.relative_coords).
 
     Returns (features, stats). When `stats` is given it is reused (the
     validation path must normalize with the stats saved at adaptation time,
@@ -123,7 +145,11 @@ def prepare_features(
 
     tf = time_features(region.times)  # [T, 4]
     tf_tiled = np.broadcast_to(tf[:, None, :], (t, la * lo, tf.shape[-1]))
-    features = np.concatenate([nodes, tf_tiled], axis=-1).astype(np.float32)
+    parts = [nodes, tf_tiled]
+    if rel_coords:
+        rc = relative_coord_channels(region)  # [N, 2]
+        parts.append(np.broadcast_to(rc[None], (t, la * lo, 2)))
+    features = np.concatenate(parts, axis=-1).astype(np.float32)
     # Final guard mirroring featurePreprocessor.py:180-182.
     if np.isnan(features).any():
         features = np.nan_to_num(features, nan=0.0)

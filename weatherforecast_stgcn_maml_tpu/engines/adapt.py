@@ -108,7 +108,9 @@ def run_adaptation(
     graph = build_region_graph(
         region.lats, region.lons, k_neighbors=cfg.data.k_neighbors
     )
-    features_np, stats = prepare_features(region)
+    features_np, stats = prepare_features(
+        region, rel_coords=model_cfg.relative_coords
+    )
     features_np = pad_nodes(features_np, graph.padded_nodes)
 
     spec = WindowSpec(model_cfg.window, model_cfg.horizon)

@@ -66,7 +66,9 @@ def run_forecast(
         )
 
     graph = build_region_graph(region.lats, region.lons, k_neighbors=data_cfg.k_neighbors)
-    features_np, stats = prepare_features(region, stats=saved_stats)
+    features_np, stats = prepare_features(
+        region, stats=saved_stats, rel_coords=model_cfg.relative_coords
+    )
     features = jnp.asarray(pad_nodes(features_np, graph.padded_nodes))
 
     # The most recent full window (no target needed — this is inference).

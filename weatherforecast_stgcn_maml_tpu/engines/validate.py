@@ -145,7 +145,9 @@ def run_validation(
     )
 
     graph = build_region_graph(sub.lats, sub.lons, k_neighbors=data_cfg.k_neighbors)
-    features_np, stats = prepare_features(sub, stats=saved_stats)
+    features_np, stats = prepare_features(
+        sub, stats=saved_stats, rel_coords=model_cfg.relative_coords
+    )
     features = jnp.asarray(pad_nodes(features_np, graph.padded_nodes))
 
     spec = WindowSpec(model_cfg.window, model_cfg.horizon)

@@ -44,7 +44,7 @@ def init_lstm(key, in_dim: int, hidden: int, num_layers: int) -> Params:
 
 
 def _lstm_layer(
-    p: Params, x_tbc: jnp.ndarray, *, compute_dtype=jnp.float32
+    p: Params, x_tbc: jnp.ndarray, *, compute_dtype=jnp.float32, unroll: int = 1
 ) -> jnp.ndarray:
     """One LSTM layer over time-major input [T, B, C] -> outputs [T, B, H]."""
     t, b, _ = x_tbc.shape
@@ -76,7 +76,13 @@ def _lstm_layer(
     # AND its device-varying type match under shard_map'd node sharding.
     zero = x_proj[0, :, :hidden] * 0.0
     init = (zero, zero)
-    (_, _), outputs = jax.lax.scan(step, init, x_proj)
+    # Unrolling matters: each recurrent matmul is tiny ([B,H]@[H,4H]) and a
+    # rolled scan pays ~15-20us loop overhead per trip on TPU — at W=24 that
+    # overhead, not the MXU, dominates the hybrid's inner-loop time
+    # (benchmarks/perf_probe.py). `unroll=W` emits straight-line code.
+    (_, _), outputs = jax.lax.scan(
+        step, init, x_proj, unroll=max(1, min(unroll, t))
+    )
     return outputs
 
 
@@ -88,6 +94,7 @@ def apply_lstm(
     train: bool = False,
     rng=None,
     compute_dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the stacked LSTM.
 
@@ -103,7 +110,7 @@ def apply_lstm(
     h = jnp.swapaxes(x, 0, 1)  # [T, B, C] time-major for scan
     n_layers = len(params["layers"])
     for l, layer in enumerate(params["layers"]):
-        h = _lstm_layer(layer, h, compute_dtype=compute_dtype)
+        h = _lstm_layer(layer, h, compute_dtype=compute_dtype, unroll=unroll)
         if l < n_layers - 1 and n_layers > 1:
             sub = jax.random.fold_in(rng, l) if rng is not None else None
             h = dropout(h, dropout_rate, sub, train=train)

@@ -71,7 +71,9 @@ def build_task(
     graph = build_region_graph(
         region.lats, region.lons, k_neighbors=data_cfg.k_neighbors, pad_to=pad_to
     )
-    features, stats = prepare_features(region, stats=stats)
+    features, stats = prepare_features(
+        region, stats=stats, rel_coords=model_cfg.relative_coords
+    )
     features = pad_nodes(features, graph.padded_nodes)
 
     spec = WindowSpec(model_cfg.window, model_cfg.horizon)

@@ -172,3 +172,38 @@ def test_stop_base_gradients_freezes_encoder(tiny_model_cfg):
     lstm_norm = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(grads["lstm"]))
     assert enc_norm == 0.0
     assert lstm_norm > 0.0
+
+
+def test_wavefront_lstm_matches_layerwise():
+    """apply_lstm_wavefront is mathematically identical to apply_lstm
+    (antidiagonal scheduling, same cells) — exact in eval mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecast_stgcn_maml_tpu.models.lstm import (
+        apply_lstm,
+        apply_lstm_wavefront,
+        init_lstm,
+    )
+
+    for n_layers, t in [(4, 24), (2, 5), (1, 6), (3, 1)]:
+        p = init_lstm(jax.random.key(0), 9, 6, n_layers)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((5, t, 9)), jnp.float32
+        )
+        ref = apply_lstm(p, x)
+        got = apply_lstm_wavefront(p, x)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    # Gradients flow in train mode with dropout.
+    p = init_lstm(jax.random.key(1), 9, 6, 3)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 7, 9)), jnp.float32)
+
+    def loss(p):
+        out = apply_lstm_wavefront(
+            p, x, dropout_rate=0.3, train=True, rng=jax.random.key(2)
+        )
+        return (out**2).mean()
+
+    g = jax.grad(loss)(p)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))

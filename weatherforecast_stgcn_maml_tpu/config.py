@@ -123,6 +123,15 @@ class ModelConfig:
     # (benchmarks/perf_probe.py; partial unroll=6 was WORSE than rolled).
     # 0 = unroll fully (trip count W).
     lstm_unroll: int = 0
+    # Advance the stacked LSTM on the (layer, time) antidiagonal wavefront:
+    # T+L-1 sequential lane-batched matmuls instead of L*T tiny ones —
+    # mathematically identical (exact in eval; train-mode dropout masks are
+    # drawn per wavefront step, same marginal distribution). Measured
+    # SLOWER than the fully-unrolled layerwise scan in the meta step on v5e
+    # (708 vs 647 ms in one window): XLA already pipelines the unrolled
+    # small matmuls, and the wavefront's lane gathers/concats cost more
+    # than the depth reduction saves. Kept as an option for larger L*T.
+    lstm_wavefront: bool = False
     # Append 2 within-box relative-coordinate channels ([-1,1]-normalized
     # lat/lon) to the node features. Box-invariance experiment (ROADMAP #2 /
     # benchmarks/transfer_study.md): gives the model position-in-box

@@ -98,12 +98,23 @@ def apply_hybrid(
 
         feat = fused_lstm_last_hidden(params["lstm"], h, compute_dtype=dtype)
     else:
-        feat = apply_lstm(
-            params["lstm"], h,
-            dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
-            compute_dtype=dtype,
-            unroll=cfg.lstm_unroll if cfg.lstm_unroll > 0 else cfg.window,
-        )  # [N, lstm_hidden]
+        from weatherforecast_stgcn_maml_tpu.models.lstm import (
+            apply_lstm_wavefront,
+        )
+
+        if cfg.lstm_wavefront:
+            feat = apply_lstm_wavefront(
+                params["lstm"], h,
+                dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
+                compute_dtype=dtype, unroll=cfg.lstm_unroll,  # 0 = full
+            )  # [N, lstm_hidden]
+        else:
+            feat = apply_lstm(
+                params["lstm"], h,
+                dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
+                compute_dtype=dtype,
+                unroll=cfg.lstm_unroll if cfg.lstm_unroll > 0 else cfg.window,
+            )  # [N, lstm_hidden]
     feat = dropout(feat, cfg.lstm_dropout, head_rng, train=train)
 
     out = apply_dense(params["head"], feat, compute_dtype=dtype)  # [N, H*12]

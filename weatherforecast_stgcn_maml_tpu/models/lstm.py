@@ -86,6 +86,125 @@ def _lstm_layer(
     return outputs
 
 
+def apply_lstm_wavefront(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    rng=None,
+    compute_dtype=jnp.float32,
+    unroll: int = 0,
+) -> jnp.ndarray:
+    """Stacked LSTM advanced on the (layer, time) antidiagonal wavefront.
+
+    The layer-by-layer formulation (`apply_lstm`) executes L*T sequential
+    recurrent matmuls; but cell (l, t) only depends on (l, t-1) and
+    (l-1, t), so every cell on the antidiagonal k = l + t is independent.
+    Advancing the whole wavefront at once needs only T+L-1 sequential steps,
+    each ONE lane-batched matmul [L, B, 2H] @ [L, 2H, 4H] (inter-layer input
+    and recurrent contributions concatenated) — a ~3.5x cut in sequential
+    depth for the 4x24 reference shape, which is what matters in the
+    latency-bound MAML inner loop (benchmarks/perf_probe.py).
+
+    Mathematically identical to `apply_lstm` (exact in eval mode; in train
+    mode the inter-layer dropout masks are drawn per wavefront step instead
+    of per layer — same marginal distribution). Lane l is reset at its first
+    active step, so pre-start garbage never reaches an active cell.
+
+    Args/returns match `apply_lstm`: x [B, T, C] -> last hidden [B, H].
+    """
+    layers = params["layers"]
+    n_layers = len(layers)
+    if n_layers == 1:
+        return apply_lstm(
+            params, x, dropout_rate=dropout_rate, train=train, rng=rng,
+            compute_dtype=compute_dtype, unroll=unroll,
+        )
+    x_tbc = jnp.swapaxes(x, 0, 1)  # [T, B, C]
+    t_len, b, _ = x_tbc.shape
+    hidden = layers[0]["wh"].shape[0]
+    acc = accum_dtype(compute_dtype)
+
+    # Layer 0's input projection has its own width (C != H) — hoist it out
+    # as one big [T*B, C] @ [C, 4H] matmul, like the layerwise formulation.
+    xproj0 = (
+        jnp.dot(
+            x_tbc.astype(compute_dtype),
+            layers[0]["wx"].astype(compute_dtype),
+            preferred_element_type=acc,
+        )
+        + layers[0]["b"]
+    )  # [T, B, 4H]
+
+    # Lane-stacked weights: lane l computes [inter-layer input, recurrent]
+    # @ [[wx_l], [wh_l]]. Lane 0 has no in-wavefront input (xproj0 is added
+    # explicitly), so its wx slot is zero.
+    w_cat = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.zeros((hidden, 4 * hidden), compute_dtype)
+                    if l == 0
+                    else layers[l]["wx"].astype(compute_dtype),
+                    layers[l]["wh"].astype(compute_dtype),
+                ],
+                axis=0,
+            )
+            for l in range(n_layers)
+        ]
+    )  # [L, 2H, 4H]
+    bias = jnp.stack(
+        [jnp.zeros_like(layers[0]["b"])]
+        + [layers[l]["b"] for l in range(1, n_layers)]
+    )  # [L, 4H] (lane 0's bias lives in xproj0)
+
+    # Zero carries derived from a traced input (dtype AND device-varying
+    # type must match under shard_map — see _lstm_layer).
+    zero_lane = xproj0[0, :, :hidden] * 0.0  # [B, H]
+    zeros = zero_lane[None] + jnp.zeros((n_layers, 1, 1), zero_lane.dtype)
+    lane_idx = jnp.arange(n_layers)
+
+    def step(carry, k):
+        h_prev, c_prev = carry  # [L, B, H] — all lanes' state after step k-1
+        # Lane l's inter-layer input at step k is lane l-1's output from
+        # step k-1 (time k-l), i.e. h_prev shifted down one lane.
+        shifted = jnp.concatenate([zeros[:1], h_prev[:-1]], axis=0)
+        if train and dropout_rate > 0.0 and rng is not None:
+            shifted = dropout(
+                shifted, dropout_rate, jax.random.fold_in(rng, k), train=True
+            )
+        # Reset a lane's own recurrence at its first active step (t == 0).
+        starting = (k - lane_idx == 0)[:, None, None]
+        h_own = jnp.where(starting, 0.0, h_prev)
+        c_own = jnp.where(starting, 0.0, c_prev)
+
+        in_cat = jnp.concatenate(
+            [shifted.astype(compute_dtype), h_own.astype(compute_dtype)], axis=-1
+        )  # [L, B, 2H]
+        gates = (
+            jnp.einsum("lbh,lhg->lbg", in_cat, w_cat, preferred_element_type=acc)
+            + bias[:, None, :]
+        )
+        t0 = jnp.clip(k, 0, t_len - 1)
+        g0 = jax.lax.dynamic_index_in_dim(xproj0, t0, 0, keepdims=False)
+        gates = gates.at[0].add(g0)
+
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c_new = f * c_own + i * jnp.tanh(g)
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), None
+
+    n_steps = t_len + n_layers - 1
+    (h_final, _), _ = jax.lax.scan(
+        step, (zeros, zeros), jnp.arange(n_steps),
+        unroll=n_steps if unroll == 0 else max(1, min(unroll, n_steps)),
+    )
+    # The last wavefront step computes the top lane at time T-1.
+    return h_final[-1]
+
+
 def apply_lstm(
     params: Params,
     x: jnp.ndarray,

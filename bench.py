@@ -218,6 +218,7 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     stale_bursts = 0
     best = float("inf")
     while True:
+        burst_start = len(times)
         for r in range(reps):
             t0 = time.perf_counter()
             state, metrics = step(state, tasks, jax.random.key(2 + burst * reps + r))
@@ -227,7 +228,16 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
             times.append(time.perf_counter() - t0)
             if budget_s > 0 and time.perf_counter() - t_start > budget_s and r >= 1:
                 break  # bound budget overshoot to about one step
-        burst_times = times[-(r + 1) :]
+            # A uniformly slow burst will not produce the best step —
+            # contention persists for minutes at a time, so bail after 3
+            # slow reps and spend the budget sampling OTHER windows.
+            if (
+                floor_s is not None
+                and r >= 2
+                and min(times[burst_start:]) > 2 * clean_thresh_s
+            ):
+                break
+        burst_times = times[burst_start:]
         burst_avgs.append((min(burst_times), sum(burst_times) / len(burst_times)))
         prev_best = best
         best = min(times)
@@ -237,10 +247,12 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
             f"[bench] burst {burst}: best {min(burst_times) * 1e3:.1f}ms, "
             f"global best {best * 1e3:.1f}ms (elapsed {elapsed:.0f}s)"
         )
-        if best <= clean_thresh_s or elapsed > budget_s or stale_bursts >= 3:
+        if best <= clean_thresh_s or elapsed > budget_s or stale_bursts >= 5:
             break
         burst += 1
-        time.sleep(min(20.0, max(0.0, budget_s - elapsed)))
+        # Irregular inter-burst sleeps avoid phase-locking with another
+        # tenant's periodic workload on the shared pool.
+        time.sleep(min(15.0 + (burst * 7) % 23, max(0.0, budget_s - elapsed)))
     # Average of the best burst only: comparable across runs regardless of
     # how long contention sampling lasted.
     avg = min(burst_avgs, key=lambda ba: ba[0])[1]

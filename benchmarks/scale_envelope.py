@@ -1,0 +1,140 @@
+"""Scale envelope — training-step MFU as the spatial graph grows.
+
+The reference tops out at ~441-node regions (5-degree boxes,
+dataLoader.py:6-12). This framework is designed for production scale-out:
+dense-adjacency graph conv rides the MXU, so MFU should RISE with node
+count (bigger matmuls amortize the LSTM's small recurrent steps), until
+HBM, not dispatch, is the limit. This study measures the supervised
+training step (the adapt engine's hot path, train/supervised.py) at
+growing padded node counts on one chip and reports time, derived FLOPs,
+and MFU against the chip's bf16 peak.
+
+FLOPs come from XLA cost analysis of the SINGLE jitted train step — valid
+here because the LSTM time scan is fully unrolled (model.lstm_unroll=0)
+and there is no outer scan, so nothing is undercounted (the round-1
+roofline bug documented in bench.py:flops_per_meta_step does not apply).
+
+Contention discipline: arms are timed interleaved round-robin; per-arm
+best over all rounds. Output: benchmarks/scale_envelope.json.
+
+Run: cd /root/repo && python benchmarks/scale_envelope.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SELF_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(SELF_DIR))
+
+
+def build_arm(n_nodes: int, batch: int, model_cfg):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+    from weatherforecast_stgcn_maml_tpu.models.registry import apply_model, init_model
+    from weatherforecast_stgcn_maml_tpu.train.supervised import batched_forward
+
+    rng = np.random.default_rng(n_nodes)
+    w, c = model_cfg.window, model_cfg.feature_channels
+    x = jnp.asarray(rng.normal(size=(batch, w, n_nodes, c)), jnp.float32)
+    y = jnp.asarray(
+        rng.normal(size=(batch, model_cfg.horizon, n_nodes, model_cfg.num_weather_vars)),
+        jnp.float32,
+    )
+    a = rng.uniform(size=(n_nodes, n_nodes)).astype(np.float32)
+    a_hat = jnp.asarray(a / a.sum(axis=1, keepdims=True))
+    mask = jnp.ones((n_nodes,), jnp.float32)
+    koppen = jnp.int32(8)
+    params = init_model(jax.random.key(0), model_cfg)
+    tx = optax.adam(5e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, step_rng):
+        def loss_fn(p):
+            preds = batched_forward(
+                p, a_hat, x, koppen, model_cfg, train=True, rng=step_rng
+            )
+            return masked_mse(preds, y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    lowered = train_step.lower(params, opt_state, jax.random.key(1))
+    flops = float((lowered.cost_analysis() or {}).get("flops", 0.0))
+    return {
+        "step": train_step, "params": params, "opt_state": opt_state,
+        "flops": flops, "nodes": n_nodes, "batch": batch, "times": [],
+    }
+
+
+def main(node_counts=(512, 1024, 2048), batch: int = 8, rounds: int = 8) -> int:
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+
+    sys.path.insert(0, SELF_DIR)
+    from bench import _bf16_peak_flops  # same peak table as the headline bench
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    peak = _bf16_peak_flops() if jax.default_backend() == "tpu" else None
+
+    arms = []
+    for n in node_counts:
+        t0 = time.perf_counter()
+        arm = build_arm(n, batch, model_cfg)
+        arm["params"], arm["opt_state"], loss = arm["step"](
+            arm["params"], arm["opt_state"], jax.random.key(2)
+        )
+        float(np.asarray(loss))
+        print(
+            f"[scale] N={n}: compiled+first-step {time.perf_counter() - t0:.1f}s, "
+            f"{arm['flops']:.3e} FLOPs/step",
+            file=sys.stderr,
+        )
+        arms.append(arm)
+
+    for r in range(rounds):
+        for arm in arms:  # interleaved sampling across contention windows
+            t0 = time.perf_counter()
+            arm["params"], arm["opt_state"], loss = arm["step"](
+                arm["params"], arm["opt_state"], jax.random.key(10 + r)
+            )
+            float(np.asarray(loss))  # forced fetch (CLAUDE.md timing rule)
+            arm["times"].append(time.perf_counter() - t0)
+        print(
+            f"[scale] round {r}: "
+            + " ".join(f"N={a['nodes']}:{a['times'][-1] * 1e3:.0f}ms" for a in arms),
+            file=sys.stderr,
+        )
+
+    out = {"batch_windows": batch, "dtype": "bfloat16", "arms": []}
+    for a in arms:
+        best = min(a["times"])
+        entry = {
+            "nodes": a["nodes"],
+            "flops_per_step": a["flops"],
+            "best_ms": best * 1e3,
+            "median_ms": float(np.median(a["times"]) * 1e3),
+            "windows_per_sec": a["batch"] / best,
+        }
+        if peak:
+            entry["mfu_vs_bf16_peak"] = a["flops"] / best / peak
+        out["arms"].append(entry)
+    with open(os.path.join(SELF_DIR, "scale_envelope.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Inner-SGD scan-unroll probe at bench scale (VERDICT r1 item 4 follow-up).
+
+`meta.inner_unroll` replicates the inner-SGD step body inside the lax.scan
+(train/maml.py:115). The LSTM *time* scan's full unroll won ~20% on the meta
+step (benchmarks/perf_probe.py), so this probe checks whether unrolling the
+*inner-step* loop buys anything too — or just burns compile time (each inner
+step body is already ~milliseconds of work, so loop overhead should be
+negligible; measure, don't assume).
+
+Contention discipline: the shared TPU pool swings ~60x (CLAUDE.md), so arms
+are timed INTERLEAVED round-robin — every arm samples every time window —
+and compared on per-arm best. Output: benchmarks/unroll_probe.json.
+
+Run: cd /root/repo && python benchmarks/unroll_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SELF_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(SELF_DIR))
+
+
+def main(unrolls=(1, 2, 3), rounds: int = 8) -> int:
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.config import DataConfig, MetaConfig, ModelConfig
+    from weatherforecast_stgcn_maml_tpu.data.synthetic import synthetic_region_for_box
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        init_meta_state,
+        make_jit_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import build_meta_tasks, stack_tasks
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    boxes = [(10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0) for i in range(4)]
+    regions = [
+        synthetic_region_for_box(b, num_timesteps=160, seed=i)
+        for i, b in enumerate(boxes)
+    ]
+
+    arms = {}
+    for k in unrolls:
+        meta_cfg = MetaConfig(inner_unroll=k)
+        built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+        tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+        state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+        step = make_jit_meta_step(model_cfg, meta_cfg)
+        t0 = time.perf_counter()
+        state, m = step(state, tasks, jax.random.key(1))
+        float(np.asarray(m["meta_loss"]))
+        compile_s = time.perf_counter() - t0
+        state, m = step(state, tasks, jax.random.key(1))  # tunnel warmup
+        float(np.asarray(m["meta_loss"]))
+        arms[k] = {"state": state, "step": step, "tasks": tasks,
+                   "compile_s": compile_s, "times": []}
+        print(f"[unroll] k={k} compiled in {compile_s:.1f}s", file=sys.stderr)
+
+    for r in range(rounds):
+        for k, arm in arms.items():  # interleaved: same window for every arm
+            t0 = time.perf_counter()
+            arm["state"], m = arm["step"](
+                arm["state"], arm["tasks"], jax.random.key(10 + r)
+            )
+            float(np.asarray(m["meta_loss"]))
+            arm["times"].append(time.perf_counter() - t0)
+        print(
+            f"[unroll] round {r}: "
+            + " ".join(f"k={k}:{arm['times'][-1] * 1e3:.0f}ms" for k, arm in arms.items()),
+            file=sys.stderr,
+        )
+
+    out = {
+        str(k): {
+            "best_ms": min(a["times"]) * 1e3,
+            "median_ms": float(np.median(a["times"]) * 1e3),
+            "compile_s": a["compile_s"],
+        }
+        for k, a in arms.items()
+    }
+    with open(os.path.join(SELF_DIR, "unroll_probe.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

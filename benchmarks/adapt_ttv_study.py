@@ -46,8 +46,8 @@ SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
 
 THRESHOLDS = [
-    1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4, 0.35,
-    0.3, 0.25, 0.2, 0.15, 0.1, 0.07, 0.05,
+    1.0, 0.99, 0.98, 0.97, 0.96, 0.95, 0.93, 0.9, 0.85, 0.8, 0.7, 0.6,
+    0.5, 0.45, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15, 0.1, 0.07, 0.05,
 ]
 
 
@@ -147,9 +147,8 @@ def run_jax(shared, max_epochs: int, val_subset: int, seed: int = 42):
 
     anchors = shared["train_anchors"]
     nb = len(anchors) // batch
-    curve = []
-    train_wall = 0.0
-    compile_s = None
+    mses = []
+    dts = []
     lr = lr0
     for epoch in range(max_epochs):
         batches = jnp.asarray(
@@ -161,20 +160,22 @@ def run_jax(shared, max_epochs: int, val_subset: int, seed: int = 42):
             jnp.float32(lr), jax.random.fold_in(jax.random.key(seed + 7), epoch),
         )
         np.asarray(losses)  # forced fetch: contended block_until_ready lies
-        dt = time.perf_counter() - t0
-        if epoch == 0:
-            compile_s = dt  # first epoch includes trace+compile
-        else:
-            train_wall += dt
-        mse = eval_mse(state.params)  # eval excluded from the training clock
-        curve.append((train_wall, mse))
-        _log(f"[jax] epoch {epoch + 1}: train_wall {train_wall:.2f}s mse {mse:.4f}")
+        dts.append(time.perf_counter() - t0)
+        mses.append(eval_mse(state.params))  # eval off the training clock
+        _log(f"[jax] epoch {epoch + 1}: dt {dts[-1]:.2f}s mse {mses[-1]:.4f}")
         lr = schedule.step(float(np.asarray(losses).mean()))
+    # Epoch 1's wall time is dominated by trace+compile; charge it the
+    # median steady epoch time instead and report compile separately.
+    steady = float(np.median(dts[1:])) if len(dts) > 1 else dts[0]
+    compile_s = max(0.0, dts[0] - steady)
+    wall = np.concatenate([[steady], steady + np.cumsum(dts[1:])])
+    curve = list(zip(wall.tolist(), mses))
     return {
         "framework": "jax-tpu",
         "backend": __import__("jax").default_backend(),
         "batch_size": batch,
-        "first_epoch_seconds_incl_compile": compile_s,
+        "compile_seconds_estimate": compile_s,
+        "steady_epoch_seconds": steady,
         "curve": [(round(t, 3), round(m, 5)) for t, m in curve],
         "crossings_train_seconds": crossings(curve),
         "final_mse": curve[-1][1],
@@ -374,6 +375,14 @@ def main(argv=None):
         },
         "thresholds": THRESHOLDS,
     }
+    # A skipped arm reuses the previous run's result (lets a polluted arm be
+    # re-measured alone in a quiet window and merged).
+    if os.path.exists(args.out) and (args.skip_torch or args.skip_jax):
+        with open(args.out) as f:
+            prior = json.load(f)
+        for arm in ("torch", "jax"):
+            if arm in prior:
+                result[arm] = prior[arm]
     if not args.skip_torch:
         result["torch"] = run_torch(
             shared, args.torch_budget, args.eval_every, args.val_windows
@@ -381,12 +390,21 @@ def main(argv=None):
     if not args.skip_jax:
         result["jax"] = run_jax(shared, args.max_epochs, args.val_windows)
     if "torch" in result and "jax" in result:
-        speedups = {}
-        for thr, t_torch in result["torch"]["crossings_train_seconds"].items():
+        # Exact speedups where both crossed; budget-limited LOWER BOUNDS for
+        # thresholds the torch run never reached within its budget.
+        speedups, bounds = {}, {}
+        t_budget = result["torch"]["curve"][-1][0]
+        for thr in map(str, THRESHOLDS):
             t_jax = result["jax"]["crossings_train_seconds"].get(thr)
-            if t_jax and t_jax > 0:
+            if not t_jax or t_jax <= 0:
+                continue
+            t_torch = result["torch"]["crossings_train_seconds"].get(thr)
+            if t_torch:
                 speedups[thr] = round(t_torch / t_jax, 1)
+            elif result["jax"]["crossings_train_seconds"].get(thr):
+                bounds[thr] = round(t_budget / t_jax, 1)
         result["speedup_at_threshold"] = speedups
+        result["speedup_lower_bound_at_threshold"] = bounds
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     _log(f"[ttv] wrote {args.out}")

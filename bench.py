@@ -423,12 +423,16 @@ def bench_workload_configs(dtype: str) -> dict:
         lambda: float(np.asarray(fwd_eval(params, x1, y1)))
     ) * 1e6
 
-    # Config 2: one supervised fine-tune epoch (adapt path), batch 8.
+    # Config 2: one supervised fine-tune epoch (adapt path) at the tuned
+    # default batch width (AdaptConfig.batch_size; adapt_batch_probe.json).
+    from weatherforecast_stgcn_maml_tpu.config import AdaptConfig
+
+    bsz = AdaptConfig().batch_size
     tx, _ = adaptation_optimizer("Bench")
     run_epoch = make_epoch_runner(model_cfg, tx, spec)
     anchors = spec.window + np.arange(spec.num_samples(region.num_timesteps))
-    nb = len(anchors) // 8
-    batches = jnp.asarray(anchors[: nb * 8].reshape(nb, 8))
+    nb = len(anchors) // bsz
+    batches = jnp.asarray(anchors[: nb * bsz].reshape(nb, bsz))
     # run_epoch donates its state: thread one state through the reps (fresh
     # copies of params so the shared `params` tree is never donated away).
     sstate = SupervisedState(
@@ -445,7 +449,7 @@ def bench_workload_configs(dtype: str) -> dict:
 
     epoch_s = timeit(one_epoch, reps=5)
     out["adapt_epoch_seconds"] = epoch_s
-    out["adapt_samples_per_sec"] = nb * 8 / epoch_s
+    out["adapt_samples_per_sec"] = nb * bsz / epoch_s
 
     # Config 3: single-task inner loop + meta-update.
     built = build_meta_tasks([region], model_cfg, meta_cfg, DataConfig())

@@ -122,8 +122,10 @@ def run_jax(shared, max_epochs: int, val_subset: int, seed: int = 42):
     features = jnp.asarray(pad_nodes(shared["features"], graph.padded_nodes))
     a_hat = jnp.asarray(graph.a_hat)
     mask = jnp.asarray(graph.node_mask)
+    from weatherforecast_stgcn_maml_tpu.config import AdaptConfig
+
     koppen = jnp.int32(0)  # quirk 6 compat: reference adapts with code 0
-    batch = 8
+    batch = AdaptConfig().batch_size  # tuned width (adapt_batch_probe.json)
 
     tx, lr0 = adaptation_optimizer("India")
     schedule = ClimateLRSchedule("India", base_lr=lr0)

@@ -71,6 +71,10 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
 
     lowered = train_step.lower(params, opt_state, jax.random.key(1))
     flops = float((lowered.cost_analysis() or {}).get("flops", 0.0))
+    if flops <= 0.0:  # axon backend has no client-side cost analysis
+        from bench import _analytic_inner_flops
+
+        flops = batch * _analytic_inner_flops(model_cfg, n_nodes)
     return {
         "step": train_step, "params": params, "opt_state": opt_state,
         "flops": flops, "nodes": n_nodes, "batch": batch, "times": [],

@@ -222,7 +222,12 @@ class AdaptConfig:
     train_fraction: float = 0.8
     # The reference fine-tunes with batch_size=1 (adapt_hybrid_v5.py:182); on
     # TPU we batch windows for throughput. Set to 1 for reference semantics.
-    batch_size: int = 8
+    # Default 2 is the measured per-window sweet spot on v5e (1.72 ms/window
+    # vs 2.65 at B=1 and 3.26 at B=8 — benchmarks/adapt_batch_probe.json):
+    # with 512 padded nodes, B=2 makes 1024-row matmuls, the same shape the
+    # width-2 meta path runs; wider batches go HBM-bandwidth-bound in the
+    # backward (scaling_study.md), narrower half-fill the rows.
+    batch_size: int = 2
     shuffle: bool = True
     # Stream very long histories through HBM in chunks of this many
     # timesteps (0 = keep the whole [T, N, C] tensor device-resident).

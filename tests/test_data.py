@@ -164,3 +164,32 @@ def test_synthetic_nan_injection():
     r = synthetic_region(num_timesteps=16, seed=1, nan_fraction=0.1)
     frac = np.isnan(r.weather).mean()
     assert 0.05 < frac < 0.15
+
+
+def test_shared_field_train_tasks_are_temporally_diverse():
+    """Production wiring of the transfer-study fix: in shared-field mode,
+    meta-train regions read DIFFERENT temporal segments of the field
+    (benchmarks/transfer_study.md), while adapt/validate tags keep their
+    fixed later-years offsets."""
+    from weatherforecast_stgcn_maml_tpu.config import DataConfig
+    from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
+
+    cfg = DataConfig(synthetic_shared_seed=7, synthetic_timesteps=8)
+    box_a, box_b = (10.0, 11.0, 20.0, 21.0), (30.0, 31.0, 40.0, 41.0)
+    ra = get_region_data(box_a, ("2020",), cfg, tag="train")
+    rb = get_region_data(box_b, ("2020",), cfg, tag="train")
+    assert ra.times[0] != rb.times[0]
+    # Deterministic across calls.
+    assert get_region_data(box_a, ("2020",), cfg, tag="train").times[0] == ra.times[0]
+    # Train windows stay clear of the adapt/validate year offsets.
+    rad = get_region_data(box_a, ("2023",), cfg, tag="adapt")
+    assert max(ra.times[-1], rb.times[-1]) < rad.times[0]
+    # Spread 0 restores the single shared window.
+    cfg0 = DataConfig(
+        synthetic_shared_seed=7, synthetic_timesteps=8,
+        synthetic_train_time_spread_hours=0,
+    )
+    assert (
+        get_region_data(box_a, ("2020",), cfg0, tag="train").times[0]
+        == get_region_data(box_b, ("2020",), cfg0, tag="train").times[0]
+    )

@@ -258,6 +258,13 @@ class DataConfig:
     # validate tags see different time windows of it). -1 (default):
     # independent dynamics per (region, tag).
     synthetic_shared_seed: int = -1
+    # In shared-field mode, spread each meta-TRAIN region's history start
+    # uniformly-by-hash over this many hours of the field. Temporal task
+    # diversity is what makes the meta-init transfer to unseen boxes AND
+    # times (+40% few-shot, benchmarks/transfer_study.md — tasks that all
+    # read one window co-memorize its phases); real ERA5 gets the same
+    # diversity from its 5-year x 4-quarter layout for free. 0 disables.
+    synthetic_train_time_spread_hours: int = 8766
 
 
 @dataclass(frozen=True)

@@ -37,11 +37,22 @@ def get_region_data(
         # temporal window of it (mimicking the reference's distinct ERA5
         # year ranges: train 2020-24, adapt 2023-24, validate 2025).
         offsets = {"train": 0, "adapt": 3 * 8766, "validate": 5 * 8766}
+        offset = offsets.get(tag, 0)
+        if tag == "train" and cfg.synthetic_train_time_spread_hours > 0:
+            # Per-region temporal diversity: tasks that all read the same
+            # window co-memorize its phases and the meta-init does not
+            # transfer (benchmarks/transfer_study.md — spreading the task
+            # histories over the field flips transfer +40% positive).
+            import zlib
+
+            offset += zlib.crc32(repr(tuple(box)).encode()) % (
+                cfg.synthetic_train_time_spread_hours
+            )
         return synthetic_region_for_box(
             box,
             num_timesteps=t,
             seed=cfg.synthetic_shared_seed,
-            hour_offset=offsets.get(tag, 0),
+            hour_offset=offset,
             name=name or f"synthetic{box}",
         )
     # Seed differs by (box, tag) so train/adapt/validate years yield

@@ -187,6 +187,13 @@ class MetaConfig:
     # *intends* MAML but its deepcopy inner loop detaches the meta-graph
     # entirely (SURVEY quirk 1); both of our modes are mathematically real.
     second_order: bool = False
+    # Rematerialization policy for the second-order backward through the
+    # inner scan: "step" (default) wraps each inner step in jax.checkpoint
+    # (recompute everything, O(1) residuals per step); "dots" saves matmul
+    # outputs and recomputes only elementwise ops (more memory, less
+    # recompute); "none" lets the scan save full residuals (fastest if it
+    # fits HBM). Measured at bench scale: benchmarks/so_remat_probe.json.
+    so_remat: str = "step"
     # Unroll factor for the inner-SGD lax.scan (XLA replicates the step body
     # this many times per loop iteration — trades compile time/code size for
     # less loop overhead on the many small inner steps).

@@ -109,7 +109,18 @@ def adapt_and_query_loss(
         p = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p, g)
         return p, None
 
-    step_fn = jax.checkpoint(inner_step) if cfg.second_order else inner_step
+    if cfg.second_order:
+        if cfg.so_remat == "none":
+            step_fn = inner_step  # scan saves full residuals (needs HBM)
+        elif cfg.so_remat == "dots":
+            step_fn = jax.checkpoint(
+                inner_step,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:  # "step": recompute everything per inner step
+            step_fn = jax.checkpoint(inner_step)
+    else:
+        step_fn = inner_step
     adapted, _ = jax.lax.scan(
         step_fn, params, jnp.arange(total_steps),
         unroll=max(1, min(cfg.inner_unroll, total_steps)),

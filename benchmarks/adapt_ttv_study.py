@@ -398,12 +398,14 @@ def main(argv=None):
         t_budget = result["torch"]["curve"][-1][0]
         for thr in map(str, THRESHOLDS):
             t_jax = result["jax"]["crossings_train_seconds"].get(thr)
-            if not t_jax or t_jax <= 0:
+            if t_jax is None or t_jax <= 0:
                 continue
             t_torch = result["torch"]["crossings_train_seconds"].get(thr)
-            if t_torch:
+            if t_torch == 0.0:
+                continue  # init already below threshold — no race to time
+            if t_torch is not None:
                 speedups[thr] = round(t_torch / t_jax, 1)
-            elif result["jax"]["crossings_train_seconds"].get(thr):
+            else:
                 bounds[thr] = round(t_budget / t_jax, 1)
         result["speedup_at_threshold"] = speedups
         result["speedup_lower_bound_at_threshold"] = bounds

@@ -165,22 +165,24 @@ def main(argv=None):
         axis=-1,
     )  # [per, W, N, 24]
 
-    def enc_loss(p, x, a):
+    def enc_loss(p, x, a, mask):
         h = apply_encoder(p, a, x, model_cfg, train=False)
-        return (h.astype(jnp.float32) ** 2).mean()
+        # Mask the node axis (repo rule: never reduce over nodes unmasked).
+        se = (h.astype(jnp.float32) ** 2) * mask[None, :, None]  # h: [W,N,Ch]
+        return se.sum() / (mask.sum() * h.shape[0] * h.shape[-1])
 
-    def enc_chain(x, a, p):
+    def enc_chain(x, a, mask, p):
         def body(pc, _):
-            g = jax.grad(enc_loss)(pc, x, a)
+            g = jax.grad(enc_loss)(pc, x, a, mask)
             return jax.tree.map(lambda u, v: u - 0.01 * v, pc, g), None
 
         pa, _ = jax.lax.scan(body, p, None, length=iters)
         return pa
 
-    enc_fn = jax.jit(jax.vmap(enc_chain, in_axes=(0, 0, None)))
+    enc_fn = jax.jit(jax.vmap(enc_chain, in_axes=(0, 0, 0, None)))
 
     def run_enc():
-        g = enc_fn(x_enc, micro.a_hat, state.params["encoder"])
+        g = enc_fn(x_enc, micro.a_hat, micro.node_mask, state.params["encoder"])
         np.asarray(jax.tree.leaves(g)[0])
 
     record("encoder_grad", timeit(run_enc, args.reps))

@@ -74,7 +74,16 @@ def test_two_process_cpu_group_runs_psum():
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    finally:
+        # If one worker dies at startup the other blocks in the
+        # coordination-service barrier; never leak it (it would hold the
+        # port and CPU into subsequent tests).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}: psum OK (6.0)" in out, out

@@ -117,9 +117,12 @@ def apply_lstm_wavefront(
     layers = params["layers"]
     n_layers = len(layers)
     if n_layers == 1:
+        # apply_lstm has no "0 = full unroll" convention — translate here
+        # (x is [B, T, C], so full unroll = T).
         return apply_lstm(
             params, x, dropout_rate=dropout_rate, train=train, rng=rng,
-            compute_dtype=compute_dtype, unroll=unroll,
+            compute_dtype=compute_dtype,
+            unroll=unroll if unroll > 0 else x.shape[1],
         )
     x_tbc = jnp.swapaxes(x, 0, 1)  # [T, B, C]
     t_len, b, _ = x_tbc.shape

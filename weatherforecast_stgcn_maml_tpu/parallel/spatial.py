@@ -94,7 +94,9 @@ def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
         h = _spatial_encoder(params["encoder"], a_rows, h, model_cfg, axis)
         h = jnp.swapaxes(h, 0, 1)  # [N/d, W, hidden] — nodes stay local
         feat = apply_lstm(
-            params["lstm"], h, compute_dtype=resolve_dtype(model_cfg.compute_dtype)
+            params["lstm"], h,
+            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
+            unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
         )
         out = apply_dense(
             params["head"], feat,
@@ -144,6 +146,7 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
             params["lstm"], h,
             dropout_rate=model_cfg.lstm_dropout, train=True, rng=lstm_rng,
             compute_dtype=resolve_dtype(model_cfg.compute_dtype),
+            unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
         )
         from weatherforecast_stgcn_maml_tpu.models.common import dropout
 

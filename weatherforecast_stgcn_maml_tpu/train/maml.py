@@ -117,8 +117,13 @@ def adapt_and_query_loss(
                 inner_step,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
-        else:  # "step": recompute everything per inner step
+        elif cfg.so_remat == "step":  # recompute everything per inner step
             step_fn = jax.checkpoint(inner_step)
+        else:
+            raise ValueError(
+                f"meta.so_remat={cfg.so_remat!r}: expected 'step', 'dots', "
+                "or 'none'"
+            )
     else:
         step_fn = inner_step
     adapted, _ = jax.lax.scan(

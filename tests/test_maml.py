@@ -206,3 +206,35 @@ def test_grad_accum_equals_two_updates():
     state, metrics = step(state, tasks, jax.random.key(0))
     assert int(state.step) == 2
     assert metrics["per_task_loss"].shape == (4,)
+
+
+def test_so_remat_unknown_policy_raises():
+    """meta.so_remat typos must fail at trace time, not silently fall back
+    to the default policy (config.py documents step|dots|none)."""
+    import pytest
+
+    cfg = MetaConfig(
+        meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=3,
+        query_batches=1, second_order=True, so_remat="dot",  # typo
+    )
+    built = _tasks()
+    tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+    step = make_jit_meta_step(MODEL_CFG, cfg)
+    with pytest.raises(ValueError, match="so_remat"):
+        step(
+            init_meta_state(jax.random.key(0), MODEL_CFG, cfg),
+            tasks, jax.random.key(1),
+        )
+
+    # The valid policies all trace and agree on the meta loss.
+    losses = []
+    for pol in ("step", "dots", "none"):
+        c = MetaConfig(
+            meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=3,
+            query_batches=1, query_train_mode=False,
+            second_order=True, so_remat=pol,
+        )
+        s2 = make_jit_meta_step(MODEL_CFG, c)
+        _, m = s2(init_meta_state(jax.random.key(0), MODEL_CFG, c), tasks, jax.random.key(1))
+        losses.append(float(m["meta_loss"]))
+    np.testing.assert_allclose(losses, losses[0], rtol=1e-5)

@@ -207,3 +207,31 @@ def test_wavefront_lstm_matches_layerwise():
 
     g = jax.grad(loss)(p)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+
+def test_wavefront_single_layer_full_unroll_delegation():
+    """Regression: the n_layers==1 delegation must translate unroll=0 (the
+    '0 = full unroll' convention) before calling apply_lstm, whose own
+    convention treats <=1 as rolled — the results must match apply_lstm
+    with an explicit full unroll, and jit must produce straight-line code
+    (no scan) like the non-wavefront path does for unroll=0."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecast_stgcn_maml_tpu.models.lstm import (
+        apply_lstm,
+        apply_lstm_wavefront,
+        init_lstm,
+    )
+
+    p = init_lstm(jax.random.key(0), 5, 4, 1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 6, 5)), jnp.float32)
+    ref = apply_lstm(p, x, unroll=6)
+    got = apply_lstm_wavefront(p, x, unroll=0)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    # The delegation must request a FULL unroll from the scan (unroll=6 in
+    # the jaxpr's scan params), not the rolled unroll=1 the raw 0 would give.
+    jpr_full = str(jax.make_jaxpr(lambda p, x: apply_lstm_wavefront(p, x, unroll=0))(p, x))
+    jpr_rolled = str(jax.make_jaxpr(lambda p, x: apply_lstm(p, x, unroll=1))(p, x))
+    assert "unroll=6" in jpr_full
+    assert "unroll=1" in jpr_rolled

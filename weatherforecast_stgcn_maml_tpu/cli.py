@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--shard", type=int, default=None, help="this host's shard id")
     pl.add_argument("--num-shards", type=int, default=None)
     pl.add_argument("--no-plots", action="store_true")
+    pl.add_argument(
+        "--mesh-fleet", action="store_true",
+        help="adapt pending regions in one mesh-sharded fleet pass "
+        "(N regions per step on an N-device slice; engines/fleet_adapt.py)",
+    )
     _add_common(pl)
 
     fc = sub.add_parser("forecast", help="emit denormalized forecasts for a region")
@@ -328,6 +333,7 @@ def main(argv=None) -> int:
             shard_id=shard,
             num_shards=num,
             make_plots=not args.no_plots,
+            mesh_fleet=args.mesh_fleet,
         )
         return 1 if res.errors else 0
 

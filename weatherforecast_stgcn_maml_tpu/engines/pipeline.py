@@ -43,6 +43,7 @@ def run_pipeline(
     shard_id: int = 0,
     num_shards: int = 1,
     make_plots: bool = True,
+    mesh_fleet: bool = False,
     log_cb=print,
 ) -> PipelineResult:
     if regions is None:
@@ -50,6 +51,33 @@ def run_pipeline(
     regions = partition_round_robin(regions, num_shards, shard_id)
     result = PipelineResult()
     jsonl = JsonlLogger(f"{cfg.out_dir}/pipeline.jsonl")
+
+    if mesh_fleet:
+        # Adapt every not-yet-adapted region in one mesh-sharded fleet pass
+        # (engines/fleet_adapt.py) — on an N-device slice this costs the
+        # wall-clock of ceil(R/N) serial adaptations. Failures fall back to
+        # the per-region serial path below (which also validates).
+        from weatherforecast_stgcn_maml_tpu.engines.fleet_adapt import (
+            run_fleet_adaptation,
+        )
+
+        pending = [
+            (box, name) for box, name in regions
+            if not checkpoint_exists(adapted_ckpt_path(cfg.out_dir, name, box))
+        ]
+        if pending:
+            t0 = time.perf_counter()
+            try:
+                run_fleet_adaptation(cfg, pending, log_cb=log_cb)
+                log_cb(
+                    f"[pipeline] fleet-adapted {len(pending)} regions in "
+                    f"{time.perf_counter() - t0:.1f}s"
+                )
+            except Exception as e:
+                log_cb(
+                    f"[pipeline] fleet adaptation failed "
+                    f"({type(e).__name__}: {e}); falling back to serial"
+                )
 
     for box, name in regions:
         t0 = time.perf_counter()

@@ -82,15 +82,15 @@ def make_eval_step(model_cfg: ModelConfig):
     return eval_step
 
 
-def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
-    """Build a fully-compiled training epoch.
+def make_epoch_fn(model_cfg: ModelConfig, tx, spec: WindowSpec):
+    """The pure (unjitted) compiled-epoch function.
 
-    `run_epoch(state, features, anchor_batches, a_hat, node_mask, koppen,
+    `epoch_fn(state, features, anchor_batches, a_hat, node_mask, koppen,
     lr, rng) -> (state, batch_losses)` scans over `[nb, B]` anchor batches,
     gathering each window batch from the HBM-resident `[T, N, C]` feature
-    tensor inside the scan — one device program per epoch, zero host
-    round-trips (the reference dispatches ~960 host-built batches per epoch,
-    adapt_hybrid_v5.py:189-203).
+    tensor inside the scan. Shared by the single-region runner below and
+    the mesh-sharded region fleet (parallel/fleet_mesh.py), which vmaps it
+    over a leading region axis.
     """
 
     def loss_fn(params, features, anchors, a_hat, node_mask, koppen, rng):
@@ -100,8 +100,7 @@ def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
         )
         return masked_mse(preds, y, node_mask)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run_epoch(state, features, anchor_batches, a_hat, node_mask, koppen, lr, rng):
+    def epoch_fn(state, features, anchor_batches, a_hat, node_mask, koppen, lr, rng):
         def body(carry, inp):
             st = carry
             anchors, step_rng = inp
@@ -114,10 +113,16 @@ def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
 
         nb = anchor_batches.shape[0]
         rngs = jax.random.split(rng, nb)
-        state, losses = jax.lax.scan(body, state, (anchor_batches, rngs))
-        return state, losses
+        return jax.lax.scan(body, state, (anchor_batches, rngs))
 
-    return run_epoch
+    return epoch_fn
+
+
+def make_epoch_runner(model_cfg: ModelConfig, tx, spec: WindowSpec):
+    """Jitted single-region training epoch — one device program per epoch,
+    zero host round-trips (the reference dispatches ~960 host-built batches
+    per epoch, adapt_hybrid_v5.py:189-203). Donates the state."""
+    return partial(jax.jit, donate_argnums=(0,))(make_epoch_fn(model_cfg, tx, spec))
 
 
 def make_batched_eval(model_cfg: ModelConfig, spec: WindowSpec):

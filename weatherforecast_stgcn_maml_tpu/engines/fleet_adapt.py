@@ -13,6 +13,11 @@ is baked into the optax chain (train/optimizers.py), so each zone's group
 shares one `tx` while the per-region learning rate (which diverges across
 regions after epoch 3 via the loss-based nudges) rides a traced [R] vector.
 
+On ONE chip the fleet is ~1.35x slower per region than the serial engine
+(the stacked lanes widen the batch into the HBM-bound regime —
+benchmarks/scaling_study.md); use it on a multi-chip slice, where lanes
+are device-local and the speedup is ~mesh_size/1.35x.
+
 Limitations vs the serial engine: all regions in a group must share the
 feature length T and padded node count (true for the synthetic backend and
 same-year ERA5 loads), and HBM streaming (`adapt.max_device_timesteps`) is

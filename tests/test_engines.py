@@ -335,3 +335,41 @@ def test_module_entrypoint():
     )
     assert res.returncode == 0, res.stderr[-500:]
     assert "devices" in res.stdout
+
+
+def test_region_list_parsing_handles_comma_names():
+    from weatherforecast_stgcn_maml_tpu.cli import _parse_region_list
+
+    got = _parse_region_list("Moscow; Lytton, Canada;  Sudan")
+    assert [n for _, n in got] == ["Moscow", "Lytton, Canada", "Sudan"]
+    # Legacy comma-separated input still resolves by greedy re-joining.
+    got = _parse_region_list("Lytton, Canada,Moscow")
+    assert [n for _, n in got] == ["Lytton, Canada", "Moscow"]
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown region"):
+        _parse_region_list("Moscow;Atlantis")
+
+
+def test_adapted_ckpt_path_canonicalizes_coordinates():
+    """int (config) and float (CLI --box) coordinates must map to the SAME
+    path, or validation silently falls back to the base checkpoint."""
+    from weatherforecast_stgcn_maml_tpu.engines.adapt import adapted_ckpt_path
+
+    a = adapted_ckpt_path("out", "NewYork", (40, 45, 285, 290))
+    b = adapted_ckpt_path("out", "NewYork", (40.0, 45.0, 285.0, 290.0))
+    assert a == b
+
+
+def test_difficulty_sampler_survives_nan_losses():
+    import numpy as np
+
+    from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
+
+    s = DifficultySampler(4, 2, seed=0)
+    idx = s.sample()
+    s.update(idx, np.array([float("nan"), 1.0]))
+    assert np.isfinite(s.difficulty).all()
+    for _ in range(5):
+        s.update(s.sample(), np.array([0.5, float("inf")]))
+    assert np.isfinite(s.difficulty).all() and len(s.sample()) == 2

@@ -238,3 +238,14 @@ def test_so_remat_unknown_policy_raises():
         _, m = s2(init_meta_state(jax.random.key(0), MODEL_CFG, c), tasks, jax.random.key(1))
         losses.append(float(m["meta_loss"]))
     np.testing.assert_allclose(losses, losses[0], rtol=1e-5)
+
+
+def test_meta_step_accepts_legacy_prngkey():
+    """The public step API must work with legacy uint32 PRNGKeys too (the
+    most common external idiom), not only typed keys."""
+    built = _tasks()
+    tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+    step = make_jit_meta_step(MODEL_CFG, META_CFG)
+    state = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
+    _, metrics = step(state, tasks, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["meta_loss"]))

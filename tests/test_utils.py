@@ -126,3 +126,19 @@ def test_plots(tmp_path):
     )
     assert os.path.getsize(p1) > 1000
     assert os.path.getsize(p2) > 1000
+
+
+def test_jsonl_logger_sanitizes_non_finite(tmp_path):
+    """inf/NaN values must not produce invalid-JSON artifacts."""
+    import json as _json
+
+    from weatherforecast_stgcn_maml_tpu.utils.metrics import JsonlLogger
+
+    log = JsonlLogger(str(tmp_path / "m.jsonl"))
+    log.log({"average_mse": float("inf"), "loss": float("nan"), "ok": 1.5,
+             "nested": {"v": float("-inf")}, "tag": "x", "flag": True})
+    line = (tmp_path / "m.jsonl").read_text().strip()
+    rec = _json.loads(line)  # strict parse must succeed
+    assert rec["average_mse"] == "inf" and rec["loss"] == "nan"
+    assert rec["ok"] == 1.5 and rec["nested"]["v"] == "-inf"
+    assert rec["tag"] == "x" and rec["flag"] is True

@@ -29,8 +29,26 @@ def _region_by_name(name: str):
     for box, rname in ADAPTATION_REGIONS:
         if rname == name:
             return box, rname
-    names = ", ".join(n for _, n in ADAPTATION_REGIONS)
+    names = "; ".join(n for _, n in ADAPTATION_REGIONS)
     raise SystemExit(f"unknown region {name!r}; known: {names}")
+
+
+def _parse_region_list(spec: str):
+    """Parse --regions. Six region names contain commas ('Lytton, Canada'),
+    so ';' is the safe separator; comma-separated input is still accepted
+    by greedily re-joining fragments until they match a known name."""
+    if ";" in spec:
+        return [_region_by_name(n.strip()) for n in spec.split(";") if n.strip()]
+    known = {n for _, n in ADAPTATION_REGIONS}
+    out, pending = [], ""
+    for frag in spec.split(","):
+        pending = f"{pending}, {frag.strip()}" if pending else frag.strip()
+        if pending in known:
+            out.append(_region_by_name(pending))
+            pending = ""
+    if pending:
+        _region_by_name(pending)  # raises with the known-names list
+    return out
 
 
 def _parse_box(values):
@@ -101,7 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(va)
 
     pl = sub.add_parser("pipeline", help="adapt+validate all regions")
-    pl.add_argument("--regions", help="comma-separated subset of region names")
+    pl.add_argument(
+        "--regions",
+        help="subset of region names, ';'-separated (names may contain commas)",
+    )
     pl.add_argument("--shard", type=int, default=None, help="this host's shard id")
     pl.add_argument("--num-shards", type=int, default=None)
     pl.add_argument("--no-plots", action="store_true")
@@ -315,7 +336,7 @@ def main(argv=None) -> int:
 
         regions = None
         if args.regions:
-            regions = [_region_by_name(n.strip()) for n in args.regions.split(",")]
+            regions = _parse_region_list(args.regions)
         if args.shard is not None and args.num_shards is not None:
             shard, num = args.shard, args.num_shards
         elif args.shard is None and args.num_shards is None:

@@ -57,7 +57,42 @@ class AdaptResult:
 
 def adapted_ckpt_path(out_dir: str, region_name: str, box) -> str:
     safe = region_name.replace("/", "_")
-    return os.path.join(out_dir, "adapted", f"{safe}_{tuple(box)}")
+    # Canonicalize coordinates: config region boxes are ints while CLI
+    # --box parses floats — repr(tuple(box)) would give the SAME region two
+    # different paths ("(40, 45, ...)" vs "(40.0, 45.0, ...)") and a later
+    # lookup would silently fall back to the base checkpoint.
+    coords = "_".join(f"{float(v):g}" for v in box)
+    return os.path.join(out_dir, "adapted", f"{safe}_{coords}")
+
+
+# Jitted-runner cache: all regions share (padded N, T, model config), and
+# the optimizer chain only differs across the 3 climate zones — rebuilding
+# the runners per region would recompile the identical fully-unrolled
+# epoch/eval programs up to 18x per pipeline (tens of seconds each through
+# the TPU tunnel). Keyed on everything that changes the compiled program.
+_RUNNER_CACHE: dict = {}
+
+
+def _cached_runners(model_cfg, spec, region_name, base_lr, clip_norm, params):
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import freeze_base_mask
+
+    zone = climate_zone(region_name)
+    key = (model_cfg, spec, zone, base_lr, clip_norm)
+    if key not in _RUNNER_CACHE:
+        tx, lr0 = adaptation_optimizer(region_name, base_lr, clip_norm)
+        if model_cfg.stop_base_gradients:
+            # Frozen base: exclude the encoder from updates AND weight
+            # decay (torch requires_grad=False semantics).
+            import optax
+
+            tx = optax.masked(tx, freeze_base_mask(params))
+        _RUNNER_CACHE[key] = (
+            tx,
+            lr0,
+            make_epoch_runner(model_cfg, tx, spec),
+            make_batched_eval(model_cfg, spec),
+        )
+    return _RUNNER_CACHE[key]
 
 
 def _batch_anchors(anchors: np.ndarray, batch_size: int, *, shuffle, rng):
@@ -154,18 +189,10 @@ def run_adaptation(
     a_hat = jnp.asarray(graph.a_hat)
     node_mask = jnp.asarray(graph.node_mask)
 
-    tx, lr0 = adaptation_optimizer(region_name, ad.base_lr, ad.clip_norm)
-    if model_cfg.stop_base_gradients:
-        # Frozen base: exclude the encoder from updates AND weight decay
-        # (torch requires_grad=False semantics; see freeze_base_mask).
-        import optax
-
-        from weatherforecast_stgcn_maml_tpu.train.optimizers import freeze_base_mask
-
-        tx = optax.masked(tx, freeze_base_mask(params))
+    tx, lr0, run_epoch, run_eval = _cached_runners(
+        model_cfg, spec, region_name, ad.base_lr, ad.clip_norm, params
+    )
     schedule = ClimateLRSchedule(region_name, base_lr=lr0)
-    run_epoch = make_epoch_runner(model_cfg, tx, spec)
-    run_eval = make_batched_eval(model_cfg, spec)
 
     state = SupervisedState(params=params, opt_state=tx.init(params))
     np_rng = np.random.default_rng(ad.seed)

@@ -36,7 +36,15 @@ def get_region_data(
         # One coherent global field; each workflow stage reads a different
         # temporal window of it (mimicking the reference's distinct ERA5
         # year ranges: train 2020-24, adapt 2023-24, validate 2025).
-        offsets = {"train": 0, "adapt": 3 * 8766, "validate": 5 * 8766}
+        offsets = {
+            "train": 0,
+            "adapt": 3 * 8766,
+            "validate": 5 * 8766,
+            # Serving reads the most recent period, like validation — NOT
+            # the meta-train window (which would leak training data into
+            # forecast-skill measurements).
+            "forecast": 5 * 8766,
+        }
         offset = offsets.get(tag, 0)
         if tag == "train" and cfg.synthetic_train_time_spread_hours > 0:
             # Per-region temporal diversity: tasks that all read the same

@@ -183,9 +183,12 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
     # Per-region (identical-seed) batch shuffles — matches the serial
     # engine's np_rng stream so fleet == serial numerically.
     np_rngs = [np.random.default_rng(ad.seed) for _ in range(total)]
-    schedules = [
-        ClimateLRSchedule(name, base_lr=lr0) for _, name in group
-    ] + [ClimateLRSchedule(group[0][1], base_lr=lr0)] * (total - r)
+    schedules = [ClimateLRSchedule(name, base_lr=lr0) for _, name in group] + [
+        # One instance per padding lane — sharing one (list multiplication)
+        # would advance its epoch counter once per lane per epoch.
+        ClimateLRSchedule(group[0][1], base_lr=lr0)
+        for _ in range(total - r)
+    ]
     lrs = np.full(total, lr0, np.float32)
     anchors = spec.window + train_idx
 

@@ -157,7 +157,9 @@ def run_meta_training(
             make_parallel_meta_step,
         )
 
-        meta_step = make_parallel_meta_step(model_cfg, meta_cfg, mesh)
+        meta_step = make_parallel_meta_step(
+            model_cfg, meta_cfg, mesh, axis=cfg.mesh.data_axis
+        )
     else:
         meta_step = make_jit_meta_step(model_cfg, meta_cfg)
 

@@ -204,7 +204,10 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"
             lambda x: x.reshape(n_updates, per, *x.shape[1:]), tasks
         )
         micro_tasks = _shard_micro(micro_tasks)
-        rngs = jax.random.split(rng, batch).reshape(n_updates, per)
+        split = jax.random.split(rng, batch)
+        # Legacy PRNGKeys split to [batch, 2] uint32; typed keys to [batch].
+        # Keep any trailing key dims so both public idioms work.
+        rngs = split.reshape(n_updates, per, *split.shape[1:])
         state, losses = jax.lax.scan(micro_update, state, (micro_tasks, rngs))
         per_task = losses.reshape(batch)
         metrics = {

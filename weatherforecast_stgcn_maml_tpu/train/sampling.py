@@ -29,7 +29,9 @@ class DifficultySampler:
         if self.batch_size == self.num_tasks:
             return np.arange(self.num_tasks)
         total = self.difficulty.sum()
-        if not self.seen.any() or total <= 0:
+        if not self.seen.any() or not np.isfinite(total) or total <= 0:
+            # Non-finite difficulties can only appear via a restored legacy
+            # checkpoint (update() filters them) — fall back to uniform.
             probs = None
         else:
             # Unseen tasks get the mean difficulty so they are not starved.
@@ -45,6 +47,11 @@ class DifficultySampler:
         """EMA-update difficulties of the sampled tasks with their own
         query losses (the fix for SURVEY.md quirk 3)."""
         for i, loss in zip(np.asarray(indices), np.asarray(losses)):
+            if not np.isfinite(loss):
+                # A diverged epoch must not poison the sampler: NaN/inf in
+                # `difficulty` makes every later sample() (and any resume
+                # that restores the array) crash in Generator.choice.
+                continue
             if self.seen[i]:
                 self.difficulty[i] = (
                     self.ema * self.difficulty[i] + (1.0 - self.ema) * float(loss)

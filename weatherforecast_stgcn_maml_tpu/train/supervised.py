@@ -10,7 +10,7 @@ recompile.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, NamedTuple
 
 import jax
@@ -151,8 +151,16 @@ def make_batched_eval(model_cfg: ModelConfig, spec: WindowSpec):
 
 
 def make_predict(model_cfg: ModelConfig):
-    """Build `predict(params, x, a_hat, koppen) -> [B, H, N, 12]` (eval mode)."""
+    """Build `predict(params, x, a_hat, koppen) -> [B, H, N, 12]` (eval mode).
 
+    Cached per ModelConfig so validate/forecast across an 18-region
+    pipeline reuse ONE compiled program instead of recompiling per region.
+    """
+    return _make_predict_cached(model_cfg)
+
+
+@lru_cache(maxsize=8)
+def _make_predict_cached(model_cfg: ModelConfig):
     @jax.jit
     def predict(params, x, a_hat, koppen):
         return batched_forward(

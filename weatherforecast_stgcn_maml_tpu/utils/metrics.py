@@ -9,6 +9,7 @@ metrics (per-task losses, timings, validation results).
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Iterable
 
@@ -34,4 +35,21 @@ class JsonlLogger:
 
     def log(self, record: dict) -> None:
         with open(self.path, "a") as f:
-            f.write(json.dumps(record, default=float) + "\n")
+            f.write(json.dumps(_finite(record), default=float) + "\n")
+
+
+def _finite(obj):
+    """Replace non-finite floats with strings: json.dumps would otherwise
+    emit bare `Infinity`/`NaN` tokens (invalid JSON — jq/pandas reject the
+    whole artifact) when e.g. a short-history validation returns inf MSE."""
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    try:
+        f = float(obj)
+    except (TypeError, ValueError):
+        return obj
+    if obj is True or obj is False or isinstance(obj, str):
+        return obj
+    return obj if math.isfinite(f) else str(f)

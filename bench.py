@@ -239,6 +239,17 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
                 and min(times[burst_start:]) > 2 * clean_thresh_s
             ):
                 break
+            # Mixed windows defeat the check above: one 1.8s rep keeps the
+            # burst-min low while individual reps stall for minutes
+            # (observed 280s avg with a 1.8s best in one burst). A single
+            # pathological rep poisons the remaining budget — bail and
+            # resample a fresh window instead.
+            if (
+                floor_s is not None
+                and r >= 2
+                and times[-1] > 10 * clean_thresh_s
+            ):
+                break
         burst_times = times[burst_start:]
         burst_avgs.append((min(burst_times), sum(burst_times) / len(burst_times)))
         prev_best = best

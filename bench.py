@@ -211,8 +211,11 @@ def bench_meta(quick: bool, dtype: str, reps: int) -> dict:
     CLEAN_MFU = 0.125  # best <= floor/CLEAN_MFU counts as a clean window
     clean_thresh_s = (floor_s / CLEAN_MFU) if floor_s is not None else float("inf")
     # Quick mode has no floor (dispatch-bound shapes), hence no clean/
-    # contended verdict — one burst, explicitly a smoke test only.
-    budget_s = 360.0 if (on_tpu and not quick) else 0.0
+    # contended verdict — one burst, explicitly a smoke test only. Its 60s
+    # budget only bounds that burst when the pool stalls (individual tiny
+    # steps have been observed taking minutes under pathological
+    # contention); it never triggers a second burst (clean_thresh is inf).
+    budget_s = (360.0 if not quick else 60.0) if on_tpu else 0.0
     times = []
     burst_avgs = []
     t_start = time.perf_counter()

@@ -22,6 +22,7 @@ import numpy as np
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
+sys.path.insert(0, SELF_DIR)
 
 
 def main(widths=(2, 4, 8, 16), rounds: int = 6) -> int:
@@ -72,26 +73,29 @@ def main(widths=(2, 4, 8, 16), rounds: int = 6) -> int:
               file=sys.stderr)
         arms.append({"b": b, "batches": batches, "state": state, "run": run, "times": []})
 
-    for r in range(rounds):
-        for arm in arms:
-            t0 = time.perf_counter()
+    from _interleave import run_interleaved
+
+    def make_rep(arm):
+        counter = [0]
+
+        def rep():
+            counter[0] += 1
             arm["state"], losses = arm["run"](
                 arm["state"], features, arm["batches"], a_hat, mask, kop,
-                jnp.float32(5e-4), jax.random.key(10 + r),
+                jnp.float32(5e-4), jax.random.key(10 + counter[0]),
             )
             np.asarray(losses)  # forced fetch
-            arm["times"].append(time.perf_counter() - t0)
-        print(
-            f"[batch] round {r}: "
-            + " ".join(f"B={a['b']}:{a['times'][-1] * 1e3:.0f}ms" for a in arms),
-            file=sys.stderr,
-        )
 
+        return rep
+
+    timed = run_interleaved(
+        {f"B={a['b']}": make_rep(a) for a in arms}, rounds, "batch"
+    )
     out = {
         str(a["b"]): {
-            "epoch_best_ms": min(a["times"]) * 1e3,
-            "us_per_window": min(a["times"]) / total * 1e6,
-            "epoch_median_ms": float(np.median(a["times"]) * 1e3),
+            "epoch_best_ms": timed[f"B={a['b']}"]["best_ms"],
+            "us_per_window": timed[f"B={a['b']}"]["best_ms"] / total * 1e3,
+            "epoch_median_ms": timed[f"B={a['b']}"]["median_ms"],
         }
         for a in arms
     }

@@ -107,28 +107,32 @@ def main(node_counts=(512, 1024, 2048), batch: int = 8, rounds: int = 8) -> int:
         )
         arms.append(arm)
 
-    for r in range(rounds):
-        for arm in arms:  # interleaved sampling across contention windows
-            t0 = time.perf_counter()
+    from _interleave import run_interleaved
+
+    def make_rep(arm):
+        counter = [0]
+
+        def rep():
+            counter[0] += 1
             arm["params"], arm["opt_state"], loss = arm["step"](
-                arm["params"], arm["opt_state"], jax.random.key(10 + r)
+                arm["params"], arm["opt_state"], jax.random.key(10 + counter[0])
             )
             float(np.asarray(loss))  # forced fetch (CLAUDE.md timing rule)
-            arm["times"].append(time.perf_counter() - t0)
-        print(
-            f"[scale] round {r}: "
-            + " ".join(f"N={a['nodes']}:{a['times'][-1] * 1e3:.0f}ms" for a in arms),
-            file=sys.stderr,
-        )
 
+        return rep
+
+    timed = run_interleaved(
+        {f"N={a['nodes']}": make_rep(a) for a in arms}, rounds, "scale"
+    )
     out = {"batch_windows": batch, "dtype": "bfloat16", "arms": []}
     for a in arms:
-        best = min(a["times"])
+        t = timed[f"N={a['nodes']}"]
+        best = t["best_ms"] / 1e3
         entry = {
             "nodes": a["nodes"],
             "flops_per_step": a["flops"],
-            "best_ms": best * 1e3,
-            "median_ms": float(np.median(a["times"]) * 1e3),
+            "best_ms": t["best_ms"],
+            "median_ms": t["median_ms"],
             "windows_per_sec": a["batch"] / best,
         }
         if peak:

@@ -21,6 +21,7 @@ import numpy as np
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
+sys.path.insert(0, SELF_DIR)
 
 
 def main(policies=("step", "dots", "none"), rounds: int = 6) -> int:
@@ -70,26 +71,29 @@ def main(policies=("step", "dots", "none"), rounds: int = 6) -> int:
     if len(set(round(v, 4) for v in losses.values())) > 1:
         print(f"[so] WARNING: first-step losses differ across policies: {losses}",
               file=sys.stderr)
-    for r in range(rounds):
-        for pol, arm in live.items():
-            t0 = time.perf_counter()
+
+    from _interleave import run_interleaved
+
+    def make_rep(arm):
+        counter = [0]
+
+        def rep():
+            counter[0] += 1
             arm["state"], m = arm["step"](
-                arm["state"], arm["tasks"], jax.random.key(10 + r)
+                arm["state"], arm["tasks"], jax.random.key(10 + counter[0])
             )
             float(np.asarray(m["meta_loss"]))
-            arm["times"].append(time.perf_counter() - t0)
-        print(
-            f"[so] round {r}: "
-            + " ".join(f"{p}:{a['times'][-1] * 1e3:.0f}ms" for p, a in live.items()),
-            file=sys.stderr,
-        )
 
+        return rep
+
+    timed = run_interleaved(
+        {p: make_rep(a) for p, a in live.items()}, rounds, "so"
+    )
     out = {}
     for pol, arm in arms.items():
         if "times" in arm:
             out[pol] = {
-                "best_ms": min(arm["times"]) * 1e3,
-                "median_ms": float(np.median(arm["times"]) * 1e3),
+                **timed[pol],
                 "compile_s": arm["compile_s"],
                 "first_loss": losses[pol],
             }

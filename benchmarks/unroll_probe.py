@@ -25,6 +25,7 @@ import numpy as np
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
+sys.path.insert(0, SELF_DIR)
 
 
 def main(unrolls=(1, 2, 3), rounds: int = 8) -> int:
@@ -59,29 +60,28 @@ def main(unrolls=(1, 2, 3), rounds: int = 8) -> int:
         state, m = step(state, tasks, jax.random.key(1))  # tunnel warmup
         float(np.asarray(m["meta_loss"]))
         arms[k] = {"state": state, "step": step, "tasks": tasks,
-                   "compile_s": compile_s, "times": []}
+                   "compile_s": compile_s}
         print(f"[unroll] k={k} compiled in {compile_s:.1f}s", file=sys.stderr)
 
-    for r in range(rounds):
-        for k, arm in arms.items():  # interleaved: same window for every arm
-            t0 = time.perf_counter()
+    from _interleave import run_interleaved
+
+    def make_rep(arm):
+        counter = [0]
+
+        def rep():
+            counter[0] += 1
             arm["state"], m = arm["step"](
-                arm["state"], arm["tasks"], jax.random.key(10 + r)
+                arm["state"], arm["tasks"], jax.random.key(10 + counter[0])
             )
             float(np.asarray(m["meta_loss"]))
-            arm["times"].append(time.perf_counter() - t0)
-        print(
-            f"[unroll] round {r}: "
-            + " ".join(f"k={k}:{arm['times'][-1] * 1e3:.0f}ms" for k, arm in arms.items()),
-            file=sys.stderr,
-        )
 
+        return rep
+
+    timed = run_interleaved(
+        {str(k): make_rep(a) for k, a in arms.items()}, rounds, "unroll"
+    )
     out = {
-        str(k): {
-            "best_ms": min(a["times"]) * 1e3,
-            "median_ms": float(np.median(a["times"]) * 1e3),
-            "compile_s": a["compile_s"],
-        }
+        str(k): {**timed[str(k)], "compile_s": a["compile_s"]}
         for k, a in arms.items()
     }
     with open(os.path.join(SELF_DIR, "unroll_probe.json"), "w") as f:

@@ -75,7 +75,15 @@ def build_bench_inputs(quick: bool, dtype: str):
         for i, b in enumerate(boxes)
     ]
     built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
-    tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+    # Stage the task batch ON DEVICE once, like engines/meta_train.py's
+    # device-staged task pool. Host (numpy) tasks would re-ship ~140 MB of
+    # support/query tensors through the tunnel EVERY timed step, inflating
+    # the measured step by ~1 s (the round-2 bench-vs-e2e gap: bench best
+    # 1.8 s while the engine ran the same step 0.72 s steady).
+    import jax.numpy as jnp
+
+    tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
+    jax.block_until_ready(tasks)
     state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
     step = make_jit_meta_step(model_cfg, meta_cfg)
     return state, step, tasks, built[0].graph, model_cfg, meta_cfg
@@ -496,7 +504,7 @@ def bench_workload_configs(dtype: str) -> dict:
             for i in range(meta_cfg.meta_batch)
         ]
         built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
-        tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+        tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
         state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
         pstep = make_parallel_meta_step(model_cfg, meta_cfg, mesh, donate_state=False)
 

@@ -85,7 +85,9 @@ def main(argv=None):
         for i, b in enumerate(boxes)
     ]
     built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
-    tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+    # Device-stage once: numpy tasks would re-ship ~140 MB per timed step
+    # through the tunnel (see bench.py build_bench_inputs).
+    tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
     state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
     per = meta_cfg.meta_batch // meta_cfg.grad_accum  # vmap width of a micro step
     micro = jax.tree.map(lambda x: jnp.asarray(x[:per]), tasks)

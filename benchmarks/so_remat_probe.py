@@ -18,6 +18,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
@@ -47,7 +48,9 @@ def main(policies=("step", "dots", "none"), rounds: int = 6) -> int:
     for pol in policies:
         meta_cfg = MetaConfig(second_order=True, so_remat=pol)
         built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
-        tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+        # Device-stage once: numpy tasks would re-ship ~140 MB per timed step
+        # through the tunnel (see bench.py build_bench_inputs).
+        tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
         state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
         step = make_jit_meta_step(model_cfg, meta_cfg)
         try:

@@ -22,6 +22,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
@@ -50,7 +51,9 @@ def main(unrolls=(1, 2, 3), rounds: int = 8) -> int:
     for k in unrolls:
         meta_cfg = MetaConfig(inner_unroll=k)
         built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
-        tasks = jax.tree.map(np.asarray, stack_tasks([b.task for b in built]))
+        # Device-stage once: numpy tasks would re-ship ~140 MB per timed step
+        # through the tunnel (see bench.py build_bench_inputs).
+        tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
         state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
         step = make_jit_meta_step(model_cfg, meta_cfg)
         t0 = time.perf_counter()

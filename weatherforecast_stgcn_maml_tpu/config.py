@@ -108,8 +108,11 @@ class ModelConfig:
     # always stored float32; bfloat16 compute targets the MXU fast path.
     compute_dtype: str = "float32"
     # Use the fused whole-stack Pallas GCN kernel on TPU for dropout-free
-    # (eval/serving) encoder passes — measured 1.17x vs XLA at reference
-    # shapes, bit-exact; non-TPU backends fall back to XLA automatically.
+    # (eval/serving) encoder passes — bit-exact vs XLA; measured 1.17x in
+    # round 1 but 0.97x in a later window (within pool noise — the kernel
+    # and XLA's fusion are effectively tied at reference shapes). Kept on
+    # by default as the demonstrated-custom-kernel path; non-TPU backends
+    # fall back to XLA automatically.
     use_pallas_gcn: bool = True
     # Fused all-layers-in-one-kernel Pallas LSTM for eval passes. Measured
     # bit-exact but NOT faster than the XLA scan at reference shapes (the

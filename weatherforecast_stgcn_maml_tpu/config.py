@@ -131,9 +131,10 @@ class ModelConfig:
     # mathematically identical (exact in eval; train-mode dropout masks are
     # drawn per wavefront step, same marginal distribution). Measured
     # SLOWER than the fully-unrolled layerwise scan in the meta step on v5e
-    # (708 vs 647 ms in one window): XLA already pipelines the unrolled
-    # small matmuls, and the wavefront's lane gathers/concats cost more
-    # than the depth reduction saves. Kept as an option for larger L*T.
+    # (clean interleaved A/B, device-staged: median 728 vs 648 ms): XLA
+    # already pipelines the unrolled small matmuls, and the wavefront's
+    # lane gathers/concats cost more than the depth reduction saves. Kept
+    # as an option for larger L*T.
     lstm_wavefront: bool = False
     # Append 2 within-box relative-coordinate channels ([-1,1]-normalized
     # lat/lon) to the node features. Box-invariance experiment (ROADMAP #2 /

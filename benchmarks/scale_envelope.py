@@ -39,7 +39,7 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
     import optax
 
     from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
-    from weatherforecast_stgcn_maml_tpu.models.registry import apply_model, init_model
+    from weatherforecast_stgcn_maml_tpu.models.registry import init_model
     from weatherforecast_stgcn_maml_tpu.train.supervised import batched_forward
 
     rng = np.random.default_rng(n_nodes)

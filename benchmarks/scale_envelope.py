@@ -9,10 +9,13 @@ training step (the adapt engine's hot path, train/supervised.py) at
 growing padded node counts on one chip and reports time, derived FLOPs,
 and MFU against the chip's bf16 peak.
 
-FLOPs come from XLA cost analysis of the SINGLE jitted train step — valid
-here because the LSTM time scan is fully unrolled (model.lstm_unroll=0)
-and there is no outer scan, so nothing is undercounted (the round-1
-roofline bug documented in bench.py:flops_per_meta_step does not apply).
+FLOPs come from XLA cost analysis of a SINGLE train step — valid because
+the LSTM time scan is fully unrolled (model.lstm_unroll=0), so nothing is
+undercounted (the round-1 roofline bug documented in
+bench.py:flops_per_meta_step does not apply). Each timed dispatch then
+chains CHAIN_STEPS optimizer steps in one in-graph lax.scan: a single
+step per dispatch would be dominated by the tunnel's ~30 ms dispatch
+floor (discovered when a batch-2 run "measured" 31 ms/step at every N).
 
 Contention discipline: arms are timed interleaved round-robin; per-arm
 best over all rounds. Output: benchmarks/scale_envelope.json.
@@ -31,6 +34,9 @@ import numpy as np
 
 SELF_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(SELF_DIR))
+
+
+CHAIN_STEPS = 10  # optimizer steps per timed dispatch (amortizes dispatch)
 
 
 def build_arm(n_nodes: int, batch: int, model_cfg):
@@ -57,8 +63,7 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, step_rng):
+    def one_step(params, opt_state, step_rng):
         def loss_fn(p):
             preds = batched_forward(
                 p, a_hat, x, koppen, model_cfg, train=True, rng=step_rng
@@ -69,7 +74,19 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    lowered = train_step.lower(params, opt_state, jax.random.key(1))
+    @jax.jit
+    def train_step(params, opt_state, rng):
+        def body(carry, step_rng):
+            p, o = carry
+            p, o, loss = one_step(p, o, step_rng)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(rng, CHAIN_STEPS)
+        )
+        return params, opt_state, losses[-1]
+
+    lowered = jax.jit(one_step).lower(params, opt_state, jax.random.key(1))
     flops = float((lowered.cost_analysis() or {}).get("flops", 0.0))
     if flops <= 0.0:  # axon backend has no client-side cost analysis
         from bench import _analytic_inner_flops
@@ -124,15 +141,18 @@ def main(node_counts=(512, 1024, 2048), batch: int = 8, rounds: int = 8) -> int:
     timed = run_interleaved(
         {f"N={a['nodes']}": make_rep(a) for a in arms}, rounds, "scale"
     )
-    out = {"batch_windows": batch, "dtype": "bfloat16", "arms": []}
+    out = {
+        "batch_windows": batch, "dtype": "bfloat16",
+        "chain_steps_per_dispatch": CHAIN_STEPS, "arms": [],
+    }
     for a in arms:
         t = timed[f"N={a['nodes']}"]
-        best = t["best_ms"] / 1e3
+        best = t["best_ms"] / 1e3 / CHAIN_STEPS  # per optimizer step
         entry = {
             "nodes": a["nodes"],
             "flops_per_step": a["flops"],
-            "best_ms": t["best_ms"],
-            "median_ms": t["median_ms"],
+            "best_ms": best * 1e3,
+            "median_ms": t["median_ms"] / CHAIN_STEPS,
             "windows_per_sec": a["batch"] / best,
         }
         if peak:

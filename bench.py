@@ -443,6 +443,9 @@ def bench_workload_configs(dtype: str) -> dict:
         preds = batched_forward(params, a_hat, x, kop, model_cfg, train=False, rng=None)
         return masked_mse(preds, y, mask)
 
+    # Single-dispatch latency: through the axon tunnel this sits on the
+    # ~25-30 ms dispatch floor — it measures end-to-end serving latency in
+    # THIS environment, not device compute (which is sub-ms at this shape).
     out["forward_eval_us"] = timeit(
         lambda: float(np.asarray(fwd_eval(params, x1, y1)))
     ) * 1e6

@@ -1,0 +1,223 @@
+"""Fused Pallas LSTM recurrence (ops/lstm_scan.py) vs the unrolled XLA scan.
+
+VERDICT r2 item 1: the meta step spends ~2.4 of its 3.7 ms/inner-iter in the
+LSTM grad (benchmarks/perf_probe_last.json) — the L x T chain of tiny
+recurrent matmuls, forward AND backward. The fused kernel keeps `wh` and the
+(h, c) carry VMEM-resident across the whole scan with a hand-written
+backward kernel, so it targets exactly that chain.
+
+Three measurements, one process:
+  1. TPU parity: forward + input/weight gradients, Pallas vs XLA, at
+     reference shapes (hard-asserted; also run by bench.py every round);
+  2. LSTM-grad microbench: grad of a 90-iteration scan over the stacked
+     LSTM alone (the perf_probe workload) — XLA vs Pallas, interleaved;
+  3. the decision metric: full clean-window meta step, interleaved.
+
+Contention discipline per CLAUDE.md: device-staged inputs, round-robin arms,
+best-of-rounds. Output: benchmarks/lstm_kernel_probe.json.
+
+Run: cd /root/repo && python benchmarks/lstm_kernel_probe.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SELF_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(SELF_DIR))
+sys.path.insert(0, SELF_DIR)
+
+
+def kernel_parity(report: dict) -> None:
+    """Hard parity assertions at reference shape on the real backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecast_stgcn_maml_tpu.ops.lstm_scan import (
+        lstm_recurrence,
+        lstm_recurrence_xla,
+    )
+
+    t, b, h = 24, 512, 128
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.normal(size=(t, b, 4 * h)).astype(np.float32))
+    wh = jnp.asarray(rng.normal(size=(h, 4 * h)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(t, b, h)).astype(np.float32))
+
+    for dt_name, dt in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        ref = np.asarray(lstm_recurrence_xla(xp, wh, compute_dtype=dt))
+        got = np.asarray(
+            jax.jit(
+                lambda xp, wh: lstm_recurrence(
+                    xp, wh, compute_dtype=dt, kernel="pallas"
+                )
+            )(xp, wh)
+        )
+        fwd_err = float(np.max(np.abs(got - ref)))
+
+        def loss(fn):
+            return lambda xp, wh: jnp.sum(fn(xp, wh) * w_out)
+
+        dref = jax.grad(
+            loss(lambda a, b_: lstm_recurrence_xla(a, b_, compute_dtype=dt)),
+            argnums=(0, 1),
+        )(xp, wh)
+        dgot = jax.jit(
+            jax.grad(
+                loss(
+                    lambda a, b_: lstm_recurrence(
+                        a, b_, compute_dtype=dt, kernel="pallas"
+                    )
+                ),
+                argnums=(0, 1),
+            )
+        )(xp, wh)
+        scale = float(np.max(np.abs(np.asarray(dref[0])))) or 1.0
+        dxp_err = float(np.max(np.abs(np.asarray(dgot[0]) - np.asarray(dref[0]))))
+        wscale = float(np.max(np.abs(np.asarray(dref[1])))) or 1.0
+        dwh_err = float(np.max(np.abs(np.asarray(dgot[1]) - np.asarray(dref[1]))))
+        tol = 1e-5 if dt == jnp.float32 else 5e-2
+        assert fwd_err <= tol, (dt_name, "fwd", fwd_err)
+        assert dxp_err / scale <= tol, (dt_name, "dxp", dxp_err / scale)
+        assert dwh_err / wscale <= tol, (dt_name, "dwh", dwh_err / wscale)
+        report[f"parity_{dt_name}"] = {
+            "fwd_max_abs": fwd_err,
+            "dxp_rel": dxp_err / scale,
+            "dwh_rel": dwh_err / wscale,
+        }
+        print(f"[lstm-kernel] parity {dt_name}: fwd {fwd_err:.2e} "
+              f"dxp {dxp_err / scale:.2e} dwh {dwh_err / wscale:.2e}",
+              file=sys.stderr)
+
+
+def main(rounds: int = 10) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from _interleave import run_interleaved
+    from weatherforecast_stgcn_maml_tpu.config import (
+        DataConfig,
+        MetaConfig,
+        ModelConfig,
+    )
+    from weatherforecast_stgcn_maml_tpu.data.synthetic import (
+        synthetic_region_for_box,
+    )
+    from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm, init_lstm
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        init_meta_state,
+        make_jit_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import (
+        build_meta_tasks,
+        stack_tasks,
+    )
+
+    report: dict = {"backend": jax.default_backend()}
+    kernel_parity(report)
+
+    # --- 2. LSTM-grad microbench (90 chained grads, vmap 2 tasks) ---------
+    t, b, h, c, layers, iters = 24, 512, 128, 256, 4, 90
+    params = init_lstm(jax.random.key(0), c, h, layers)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, b, t, c)).astype(np.float32)
+    )
+
+    def make_lstm_arm(kernel):
+        def one(params, x):
+            def body(p, _):
+                def loss(p):
+                    out = jax.vmap(
+                        lambda xx: apply_lstm(
+                            p, xx, compute_dtype=jnp.bfloat16, unroll=t,
+                            kernel=kernel,
+                        )
+                    )(x)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+                g = jax.grad(loss)(p)
+                return jax.tree.map(lambda a, b_: a - 1e-9 * b_, p, g), None
+
+            p, _ = jax.lax.scan(body, params, None, length=iters)
+            return p
+
+        fn = jax.jit(one)
+        t0 = time.perf_counter()
+        out = fn(params, x)
+        np.asarray(jax.tree.leaves(out)[0])
+        compile_s = time.perf_counter() - t0
+        print(f"[lstm-kernel] lstm-grad {kernel} compiled {compile_s:.1f}s",
+              file=sys.stderr)
+
+        def rep():
+            np.asarray(jax.tree.leaves(fn(params, x))[0])
+
+        return rep, compile_s
+
+    lstm_arms = {}
+    for kern in ("xla", "auto"):
+        rep, comp = make_lstm_arm(kern)
+        lstm_arms[kern] = rep
+    lstm_timed = run_interleaved(lstm_arms, rounds, "lstm-grad")
+    report["lstm_grad_90iter"] = lstm_timed
+    for k, v in lstm_timed.items():
+        report["lstm_grad_90iter"][k]["ms_per_iter"] = v["best_ms"] / iters
+
+    # --- 3. Full meta step ------------------------------------------------
+    boxes = [(10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0) for i in range(4)]
+    regions = [
+        synthetic_region_for_box(bx, num_timesteps=160, seed=i)
+        for i, bx in enumerate(boxes)
+    ]
+    meta_cfg = MetaConfig()
+    arms = {}
+    for kern in ("xla", "auto"):
+        model_cfg = ModelConfig(compute_dtype="bfloat16", lstm_kernel=kern)
+        built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+        tasks = jax.tree.map(jnp.asarray, stack_tasks([bb.task for bb in built]))
+        state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+        step = make_jit_meta_step(model_cfg, meta_cfg)
+        t0 = time.perf_counter()
+        state, m = step(state, tasks, jax.random.key(1))
+        float(np.asarray(m["meta_loss"]))
+        compile_s = time.perf_counter() - t0
+        print(f"[lstm-kernel] meta {kern} compiled {compile_s:.1f}s",
+              file=sys.stderr)
+        state, m = step(state, tasks, jax.random.key(1))
+        float(np.asarray(m["meta_loss"]))
+        arms[kern] = {"state": state, "step": step, "tasks": tasks,
+                      "compile_s": compile_s}
+
+    def make_rep(arm):
+        counter = [0]
+
+        def rep():
+            counter[0] += 1
+            arm["state"], m = arm["step"](
+                arm["state"], arm["tasks"], jax.random.key(10 + counter[0])
+            )
+            float(np.asarray(m["meta_loss"]))
+
+        return rep
+
+    timed = run_interleaved(
+        {k: make_rep(a) for k, a in arms.items()}, rounds, "meta-step"
+    )
+    report["meta_step"] = {
+        k: {**timed[k], "compile_s": arms[k]["compile_s"]} for k in arms
+    }
+
+    with open(os.path.join(SELF_DIR, "lstm_kernel_probe.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,6 +119,15 @@ class ModelConfig:
     # sequential time loop dominates, not weight refetch), so default off;
     # kept for larger-batch serving regimes where it may win.
     use_pallas_lstm: bool = False
+    # Recurrence backend for the LSTM time scan: "auto" routes to the fused
+    # Pallas scan kernel (ops/lstm_scan.py) on TPU — weights and the (h, c)
+    # carry stay VMEM-resident across all W steps, with a hand-written
+    # backward kernel so it accelerates the (backward-dominated) MAML inner
+    # loop, not just eval. "xla" forces the unrolled lax.scan (required for
+    # second-order MAML — custom VJPs are first-order only — and the float64
+    # FD-test path; both are auto-detected and routed to XLA). "pallas"
+    # forces the kernel (tests use it with interpret mode on CPU).
+    lstm_kernel: str = "auto"
     # Unroll factor for the LSTM time scan. The recurrent matmul is tiny
     # ([B,H] @ [H,4H]) so a rolled scan's per-trip overhead dominates the
     # hybrid's inner-loop latency; full unroll of the W=24 loop measured

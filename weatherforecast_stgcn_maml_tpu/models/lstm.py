@@ -23,6 +23,7 @@ from weatherforecast_stgcn_maml_tpu.models.common import (
     dropout,
     scaled_uniform,
 )
+from weatherforecast_stgcn_maml_tpu.ops.lstm_scan import lstm_recurrence
 
 
 def init_lstm(key, in_dim: int, hidden: int, num_layers: int) -> Params:
@@ -44,14 +45,16 @@ def init_lstm(key, in_dim: int, hidden: int, num_layers: int) -> Params:
 
 
 def _lstm_layer(
-    p: Params, x_tbc: jnp.ndarray, *, compute_dtype=jnp.float32, unroll: int = 1
+    p: Params,
+    x_tbc: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+    unroll: int = 1,
+    kernel: str = "xla",
 ) -> jnp.ndarray:
     """One LSTM layer over time-major input [T, B, C] -> outputs [T, B, H]."""
-    t, b, _ = x_tbc.shape
-    hidden = p["wh"].shape[0]
     acc = accum_dtype(compute_dtype)
     wx = p["wx"].astype(compute_dtype)
-    wh = p["wh"].astype(compute_dtype)
     bias = p["b"]
 
     # Hoist the input projection out of the scan: [T, B, C] @ [C, 4H].
@@ -59,31 +62,16 @@ def _lstm_layer(
         jnp.dot(x_tbc.astype(compute_dtype), wx, preferred_element_type=acc)
         + bias
     )
-
-    def step(carry, xp):
-        h, c = carry
-        gates = xp + jnp.dot(
-            h.astype(compute_dtype), wh, preferred_element_type=acc
-        )
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
-
-    # Derive the zero carry from x_proj (not fresh jnp.zeros) so its dtype
-    # AND its device-varying type match under shard_map'd node sharding.
-    zero = x_proj[0, :, :hidden] * 0.0
-    init = (zero, zero)
-    # Unrolling matters: each recurrent matmul is tiny ([B,H]@[H,4H]) and a
-    # rolled scan pays ~15-20us loop overhead per trip on TPU — at W=24 that
-    # overhead, not the MXU, dominates the hybrid's inner-loop time
-    # (benchmarks/perf_probe.py). `unroll=W` emits straight-line code.
-    (_, _), outputs = jax.lax.scan(
-        step, init, x_proj, unroll=max(1, min(unroll, t))
+    # The sequential recurrence: XLA unrolled scan, or the fused Pallas scan
+    # kernel with a hand-written backward (ops/lstm_scan.py) — the latter
+    # keeps `wh` and the (h, c) carry VMEM-resident across all T steps
+    # instead of paying an HBM round-trip per step, which is what bounds the
+    # MAML inner loop (benchmarks/perf_probe.py: LSTM grad is ~2.4 of the
+    # 3.7 ms inner step).
+    return lstm_recurrence(
+        x_proj, p["wh"], compute_dtype=compute_dtype, kernel=kernel,
+        unroll=unroll,
     )
-    return outputs
 
 
 def apply_lstm_wavefront(
@@ -217,11 +205,15 @@ def apply_lstm(
     rng=None,
     compute_dtype=jnp.float32,
     unroll: int = 1,
+    kernel: str = "xla",
 ) -> jnp.ndarray:
     """Run the stacked LSTM.
 
     Args:
       x: [B, T, C] batch-major sequences (B = nodes).
+      kernel: recurrence backend per layer — "xla" (unrolled scan),
+        "pallas" (fused VMEM-resident scan kernel, first-order diff only),
+        or "auto" (Pallas on TPU when shapes allow). See ops/lstm_scan.py.
     Returns:
       [B, H] last-timestep hidden state of the top layer — the feature the
       hybrid head consumes (hybrid_model.py:101).
@@ -232,7 +224,9 @@ def apply_lstm(
     h = jnp.swapaxes(x, 0, 1)  # [T, B, C] time-major for scan
     n_layers = len(params["layers"])
     for l, layer in enumerate(params["layers"]):
-        h = _lstm_layer(layer, h, compute_dtype=compute_dtype, unroll=unroll)
+        h = _lstm_layer(
+            layer, h, compute_dtype=compute_dtype, unroll=unroll, kernel=kernel
+        )
         if l < n_layers - 1 and n_layers > 1:
             sub = jax.random.fold_in(rng, l) if rng is not None else None
             h = dropout(h, dropout_rate, sub, train=train)

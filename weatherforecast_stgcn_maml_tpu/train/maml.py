@@ -29,6 +29,7 @@ mesh and XLA inserts the psum for the gradient mean.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, NamedTuple
 
 import jax
@@ -88,6 +89,11 @@ def adapt_and_query_loss(
     This is the per-task function whose gradient w.r.t. `params` is the MAML
     meta-gradient (exact for second_order=True, first-order otherwise).
     """
+    if cfg.second_order and model_cfg.lstm_kernel != "xla":
+        # The fused Pallas LSTM recurrence (ops/lstm_scan.py) is a custom
+        # VJP — first-order differentiable only. Grad-of-grad through the
+        # inner loop needs the twice-differentiable XLA scan.
+        model_cfg = dataclasses.replace(model_cfg, lstm_kernel="xla")
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support
 

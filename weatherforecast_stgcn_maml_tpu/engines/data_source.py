@@ -53,7 +53,11 @@ def get_region_data(
             # histories over the field flips transfer +40% positive).
             import zlib
 
-            offset += zlib.crc32(repr(tuple(box)).encode()) % (
+            # Hash canonical float coords so the same region given as int vs
+            # float box gets the same temporal offset (matches the coord
+            # canonicalization in adapted_ckpt_path; ADVICE r2).
+            canon = repr(tuple(float(v) for v in box))
+            offset += zlib.crc32(canon.encode()) % (
                 cfg.synthetic_train_time_spread_hours
             )
         return synthetic_region_for_box(

@@ -38,6 +38,7 @@ from weatherforecast_stgcn_maml_tpu.data.windows import WindowSpec, contiguous_s
 from weatherforecast_stgcn_maml_tpu.engines.adapt import (
     AdaptResult,
     _batch_anchors,
+    adapt_epoch_rng,
     adapted_ckpt_path,
 )
 from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
@@ -192,15 +193,27 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
     lrs = np.full(total, lr0, np.float32)
     anchors = spec.window + train_idx
 
+    # Same per-region adapt JSONL artifact as the serial engine — fleet runs
+    # must not leave an observability gap (ADVICE r2).
+    from weatherforecast_stgcn_maml_tpu.utils.metrics import JsonlLogger
+
+    jsonls = [
+        JsonlLogger(os.path.join(cfg.out_dir, "adapt", f"{name}.jsonl"))
+        for _, name in group
+    ]
+
     epoch_losses = [[] for _ in range(r)]
     for epoch in range(ad.epochs):
         batches = np.stack([
             _batch_anchors(anchors, ad.batch_size, shuffle=ad.shuffle, rng=g)
             for g in np_rngs
         ])
-        rngs = jnp.stack([
-            jax.random.fold_in(jax.random.key(ad.seed + 7), epoch * 1000)
-        ] * total)
+        # Region-folded dropout rngs (padding lanes mirror lane 0): every
+        # lane draws its own masks, matching the serial engine per region.
+        rngs = jnp.stack(
+            [adapt_epoch_rng(ad.seed, name, epoch) for _, name in group]
+            + [adapt_epoch_rng(ad.seed, group[0][1], epoch)] * (total - r)
+        )
         states, losses = run_epoch(
             states, features_s, jnp.asarray(batches), a_hat_s, mask_s,
             kop_s, jnp.asarray(lrs), rngs,
@@ -209,6 +222,7 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
         for i in range(r):
             avg = float(losses[i].mean())
             epoch_losses[i].append(avg)
+            jsonls[i].log({"epoch": epoch + 1, "loss": avg, "lr": float(lrs[i])})
             lrs[i] = schedules[i].step(avg)
         for i in range(r, total):
             lrs[i] = schedules[i].step(float(losses[i].mean()))

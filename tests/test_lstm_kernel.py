@@ -158,3 +158,65 @@ def test_model_path_uses_kernel_flag(tiny_model_cfg):
     )(params)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_fo_meta_grad_through_pallas_kernel(tiny_model_cfg):
+    """The FULL first-order meta-gradient with the Pallas recurrence in the
+    model (interpret mode): the outer grad linearizes through the inner
+    jax.grad, whose trace contains raw pallas_call primitives (no JVP
+    rule) — only the stop_gradient(p) detach in maml.inner_step keeps the
+    outer linearization away from them. This is the exact structure that
+    crashed on TPU in round 3 before that fix; it must match the XLA-kernel
+    meta-gradient numerically."""
+    from weatherforecast_stgcn_maml_tpu.config import MetaConfig
+    from weatherforecast_stgcn_maml_tpu.ops import lstm_scan
+    from weatherforecast_stgcn_maml_tpu.train import maml
+
+    meta_cfg = MetaConfig(
+        second_order=False, inner_epochs=1, inner_batches=2, meta_batch=2,
+        grad_accum=1,
+    )
+    n = 8
+    rng = np.random.default_rng(5)
+    task = maml.Task(
+        support_x=jnp.asarray(
+            rng.normal(
+                size=(2, tiny_model_cfg.window, n, tiny_model_cfg.feature_channels)
+            ),
+            jnp.float32,
+        ),
+        support_y=jnp.asarray(
+            rng.normal(size=(2, tiny_model_cfg.horizon, n, 12)), jnp.float32
+        ),
+        query_x=jnp.asarray(
+            rng.normal(
+                size=(1, tiny_model_cfg.window, n, tiny_model_cfg.feature_channels)
+            ),
+            jnp.float32,
+        ),
+        query_y=jnp.asarray(
+            rng.normal(size=(1, tiny_model_cfg.horizon, n, 12)), jnp.float32
+        ),
+        koppen=jnp.asarray(3, jnp.int32),
+        a_hat=jnp.eye(n, dtype=jnp.float32),
+        node_mask=jnp.ones((n,), jnp.float32),
+    )
+    params = maml.init_meta_state(
+        jax.random.key(0), tiny_model_cfg, meta_cfg
+    ).params
+
+    def meta_grad(kernel):
+        cfg = dataclasses.replace(tiny_model_cfg, lstm_kernel=kernel)
+        return jax.grad(
+            lambda p: maml.adapt_and_query_loss(
+                p, task, jax.random.key(2), cfg, meta_cfg
+            )
+        )(params)
+
+    g_xla = meta_grad("xla")
+    with lstm_scan.force_interpret():
+        g_pal = meta_grad("pallas")
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )

@@ -50,6 +50,24 @@ except Exception:  # pragma: no cover
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
+# Test hook: force interpret-mode Pallas execution everywhere (lets CPU CI
+# run the real kernel bodies through model-level paths that don't expose
+# the `interpret` kwarg).
+_FORCE_INTERPRET = False
+
+
+class force_interpret:
+    """Context manager: run all lstm_scan Pallas kernels interpreted."""
+
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self._saved = _FORCE_INTERPRET
+        _FORCE_INTERPRET = True
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self._saved
+
 
 def _acc(compute_dtype):
     return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
@@ -299,5 +317,7 @@ def lstm_recurrence(
         and pallas_supported(t, b, hidden, jnp.dtype(xp.dtype).itemsize)
     )
     if use_pallas:
-        return _recurrence_pallas(xp, wh, compute_dtype, interpret)
+        return _recurrence_pallas(
+            xp, wh, compute_dtype, interpret or _FORCE_INTERPRET
+        )
     return lstm_recurrence_xla(xp, wh, compute_dtype=compute_dtype, unroll=unroll)

@@ -108,7 +108,19 @@ def adapt_and_query_loss(
         # Epoch-major pass over the same support windows, like the
         # reference's unshuffled DataLoader (train_hybrid_maml_v5.py:121).
         idx = jnp.mod(s, n_support)
-        g = jax.grad(support_loss)(p, idx, jax.random.fold_in(rng, s))
+        if cfg.second_order:
+            p_in = p
+        else:
+            # FOMAML detaches the inner gradient anyway — detach the
+            # PARAMS it is evaluated at (same value) so the outer
+            # linearization never propagates tangents into the inner
+            # fwd/bwd graph. Beyond saving work, this is load-bearing for
+            # the fused LSTM recurrence: the inner jax.grad resolves its
+            # custom VJP into raw pallas_call primitives, which have no
+            # JVP rule — zero incoming tangents mean the outer grad never
+            # attempts one.
+            p_in = jax.lax.stop_gradient(p)
+        g = jax.grad(support_loss)(p_in, idx, jax.random.fold_in(rng, s))
         g, _ = clip_global_norm_tree(g, cfg.clip_norm)
         if not cfg.second_order:
             g = jax.lax.stop_gradient(g)

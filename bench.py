@@ -398,6 +398,35 @@ def kernel_parity(dtype: str) -> dict:
         apply_lstm(lp, x_seq, compute_dtype=dt),
     )
 
+    # Whole-stack fused kernel (the production "auto" path): forward AND
+    # the full train-mode gradient (dropout masks drawn in both paths from
+    # the same rng stream) at reference shape.
+    ref_fwd = apply_lstm(lp, x_seq, compute_dtype=dt, kernel="xla")
+    got_fwd = jax.jit(
+        lambda p, x: apply_lstm(p, x, compute_dtype=dt, kernel="pallas_stack")
+    )(lp, x_seq)
+    checks["lstm_stack_fwd"] = rel_err(got_fwd, ref_fwd)
+
+    def stack_loss(kernel):
+        def f(p, x):
+            out = apply_lstm(
+                p, x, dropout_rate=0.2, train=True, rng=jax.random.key(5),
+                compute_dtype=dt, kernel=kernel,
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return f
+
+    sp_ref = jax.jit(jax.grad(stack_loss("xla"), argnums=(0, 1)))(lp, x_seq)
+    sp_got = jax.jit(
+        jax.grad(stack_loss("pallas_stack"), argnums=(0, 1))
+    )(lp, x_seq)
+    checks["lstm_stack_bwd_dx"] = rel_err(sp_got[1], sp_ref[1])
+    checks["lstm_stack_bwd_dw"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(sp_ref[0]), jax.tree.leaves(sp_got[0]))
+    )
+
     xp = jnp.asarray(rng.normal(size=(t_len, n, 4 * hid)).astype(np.float32))
     whm = jnp.asarray(rng.normal(size=(hid, 4 * hid)).astype(np.float32) * 0.1)
     w_out = jnp.asarray(rng.normal(size=(t_len, n, hid)).astype(np.float32))

@@ -1,0 +1,164 @@
+"""Whole-stack fused LSTM kernel (ops/fused_lstm_stack.py) vs the XLA path.
+
+Runs the real kernel bodies through the Pallas interpreter on CPU: eval
+parity, TRAIN-mode parity (the fused path must draw bit-identical dropout
+masks), full gradient parity (x and every weight/bias), vmap batching, and
+the complete first-order meta-gradient. TPU bit-exactness is asserted by
+bench.py's default kernel-parity gate.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm, init_lstm
+from weatherforecast_stgcn_maml_tpu.ops import fused_lstm_stack
+
+T, B, C, H, L = 5, 16, 24, 8, 3
+
+
+def _setup(seed=0, layers=L):
+    params = init_lstm(jax.random.key(seed), C, H, layers)
+    x = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(B, T, C)).astype(np.float32)
+    )
+    return params, x
+
+
+def _stack(params, x, **kw):
+    with fused_lstm_stack.force_interpret():
+        return apply_lstm(params, x, kernel="pallas_stack", **kw)
+
+
+def test_eval_parity():
+    params, x = _setup()
+    ref = apply_lstm(params, x, kernel="xla")
+    got = _stack(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_single_layer_parity():
+    params, x = _setup(1, layers=1)
+    ref = apply_lstm(params, x, kernel="xla")
+    got = _stack(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_train_mode_mask_parity():
+    """Inter-layer dropout masks must be drawn bit-identically to the XLA
+    path (same fold_in(rng, l) streams) so train-mode numerics agree."""
+    params, x = _setup(2)
+    rng = jax.random.key(9)
+    ref = apply_lstm(
+        params, x, kernel="xla", dropout_rate=0.4, train=True, rng=rng
+    )
+    got = _stack(params, x, dropout_rate=0.4, train=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_parity_all_leaves():
+    params, x = _setup(3)
+    tgt = jnp.asarray(
+        np.random.default_rng(4).normal(size=(B, H)).astype(np.float32)
+    )
+
+    def loss(kernel):
+        def f(params, x):
+            if kernel == "xla":
+                out = apply_lstm(params, x, kernel="xla")
+            else:
+                out = _stack(params, x)
+            return jnp.sum((out - tgt) ** 2)
+
+        return f
+
+    gp_ref, gx_ref = jax.grad(loss("xla"), argnums=(0, 1))(params, x)
+    gp_got, gx_got = jax.grad(loss("stack"), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_got), np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(gp_ref), jax.tree.leaves(gp_got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_train_grad_parity():
+    params, x = _setup(5)
+    rng = jax.random.key(11)
+
+    def loss(kernel):
+        def f(params):
+            kw = dict(dropout_rate=0.3, train=True, rng=rng)
+            out = (
+                apply_lstm(params, x, kernel="xla", **kw)
+                if kernel == "xla" else _stack(params, x, **kw)
+            )
+            return jnp.sum(out ** 2)
+
+        return f
+
+    g_ref = jax.grad(loss("xla"))(params)
+    g_got = jax.grad(loss("stack"))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_vmap_parity():
+    params, _ = _setup(6)
+    xs = jnp.stack(
+        [_setup(10 + i)[1] for i in range(3)]
+    )  # [3, B, T, C]
+    ref = jax.vmap(lambda x: apply_lstm(params, x, kernel="xla"))(xs)
+    with fused_lstm_stack.force_interpret():
+        got = jax.vmap(
+            lambda x: apply_lstm(params, x, kernel="pallas_stack")
+        )(xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fo_meta_grad_through_stack_kernel(tiny_model_cfg):
+    """Full FOMAML meta-gradient with the stack kernel in the model — the
+    integration that caught the per-layer kernel's JVP crash in round 3."""
+    from weatherforecast_stgcn_maml_tpu.config import MetaConfig
+    from weatherforecast_stgcn_maml_tpu.train import maml
+
+    meta_cfg = MetaConfig(
+        second_order=False, inner_epochs=1, inner_batches=2, meta_batch=2,
+        grad_accum=1,
+    )
+    n = 8
+    rng = np.random.default_rng(7)
+    mk = lambda *shape: jnp.asarray(rng.normal(size=shape), jnp.float32)
+    task = maml.Task(
+        support_x=mk(2, tiny_model_cfg.window, n, tiny_model_cfg.feature_channels),
+        support_y=mk(2, tiny_model_cfg.horizon, n, 12),
+        query_x=mk(1, tiny_model_cfg.window, n, tiny_model_cfg.feature_channels),
+        query_y=mk(1, tiny_model_cfg.horizon, n, 12),
+        koppen=jnp.asarray(3, jnp.int32),
+        a_hat=jnp.eye(n, dtype=jnp.float32),
+        node_mask=jnp.ones((n,), jnp.float32),
+    )
+    params = maml.init_meta_state(
+        jax.random.key(0), tiny_model_cfg, meta_cfg
+    ).params
+
+    def meta_grad(kernel):
+        cfg = dataclasses.replace(tiny_model_cfg, lstm_kernel=kernel)
+        return jax.grad(
+            lambda p: maml.adapt_and_query_loss(
+                p, task, jax.random.key(2), cfg, meta_cfg
+            )
+        )(params)
+
+    g_xla = meta_grad("xla")
+    with fused_lstm_stack.force_interpret():
+        g_stk = meta_grad("pallas_stack")
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_stk)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )

@@ -119,14 +119,20 @@ class ModelConfig:
     # sequential time loop dominates, not weight refetch), so default off;
     # kept for larger-batch serving regimes where it may win.
     use_pallas_lstm: bool = False
-    # Recurrence backend for the LSTM time scan: "auto" routes to the fused
-    # Pallas scan kernel (ops/lstm_scan.py) on TPU — weights and the (h, c)
-    # carry stay VMEM-resident across all W steps, with a hand-written
-    # backward kernel so it accelerates the (backward-dominated) MAML inner
-    # loop, not just eval. "xla" forces the unrolled lax.scan (required for
-    # second-order MAML — custom VJPs are first-order only — and the float64
-    # FD-test path; both are auto-detected and routed to XLA). "pallas"
-    # forces the kernel (tests use it with interpret mode on CPU).
+    # Recurrence backend for the LSTM stack: "auto" routes to the fused
+    # WHOLE-STACK Pallas kernel (ops/fused_lstm_stack.py) on TPU — one
+    # kernel per direction covering all layers and timesteps, weights and
+    # carries VMEM-resident, inter-layer activations never touching HBM,
+    # with a hand-written backward (incl. in-kernel weight-grad
+    # accumulation) so it accelerates the backward-dominated MAML inner
+    # loop, not just eval. "xla" forces the unrolled lax.scan (required
+    # for second-order MAML — custom VJPs are first-order only — and the
+    # float64 FD-test path; both auto-detected and routed to XLA).
+    # "pallas_stack" forces the stack kernel (tests run it interpreted on
+    # CPU). "pallas" selects the per-LAYER recurrence kernel
+    # (ops/lstm_scan.py), kept flag-gated: measured ~8% slower than XLA at
+    # the meta step (benchmarks/lstm_kernel_probe.json) — its XLA<->Pallas
+    # boundary traffic outweighs the VMEM residency win.
     lstm_kernel: str = "auto"
     # Unroll factor for the LSTM time scan. The recurrent matmul is tiny
     # ([B,H] @ [H,4H]) so a rolled scan's per-trip overhead dominates the

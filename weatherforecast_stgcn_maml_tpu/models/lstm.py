@@ -211,18 +211,43 @@ def apply_lstm(
 
     Args:
       x: [B, T, C] batch-major sequences (B = nodes).
-      kernel: recurrence backend per layer — "xla" (unrolled scan),
-        "pallas" (fused VMEM-resident scan kernel, first-order diff only),
-        or "auto" (Pallas on TPU when shapes allow). See ops/lstm_scan.py.
+      kernel: recurrence backend — "xla" (unrolled scan); "auto" (the
+        whole-stack fused Pallas kernel, ops/fused_lstm_stack.py, on TPU
+        when shapes allow — one kernel per direction, inter-layer
+        activations never leave VMEM; first-order diff only); "pallas_stack"
+        (force the stack kernel — tests use it with interpret mode);
+        "pallas" (the per-LAYER recurrence kernel, ops/lstm_scan.py — kept
+        flag-gated: measured ~8% slower than XLA at the meta step, its
+        XLA<->Pallas boundary traffic outweighs the VMEM residency win).
     Returns:
       [B, H] last-timestep hidden state of the top layer — the feature the
       hybrid head consumes (hybrid_model.py:101).
 
     Inter-layer dropout is applied to every layer's output except the last
-    (torch.nn.LSTM semantics when num_layers > 1).
+    (torch.nn.LSTM semantics when num_layers > 1); the fused-stack path
+    draws bit-identical masks from the same fold_in(rng, l) streams.
     """
-    h = jnp.swapaxes(x, 0, 1)  # [T, B, C] time-major for scan
     n_layers = len(params["layers"])
+    if kernel in ("auto", "pallas_stack"):
+        from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_stack import (
+            lstm_stack_last_all,
+            stack_supported,
+        )
+
+        b, t, c = x.shape
+        hidden = params["layers"][0]["wh"].shape[0]
+        use_stack = kernel == "pallas_stack" or (
+            jax.default_backend() == "tpu"
+            and compute_dtype != jnp.float64
+            and stack_supported(t, b, c, hidden, n_layers)
+        )
+        if use_stack:
+            return lstm_stack_last_all(
+                params, x, dropout_rate=dropout_rate, train=train, rng=rng,
+                compute_dtype=compute_dtype,
+            )
+        kernel = "xla"  # stack unsupported at these shapes -> XLA scan
+    h = jnp.swapaxes(x, 0, 1)  # [T, B, C] time-major for scan
     for l, layer in enumerate(params["layers"]):
         h = _lstm_layer(
             layer, h, compute_dtype=compute_dtype, unroll=unroll, kernel=kernel

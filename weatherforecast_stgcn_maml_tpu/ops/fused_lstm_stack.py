@@ -1,0 +1,532 @@
+"""Whole-stack fused LSTM: all layers + all timesteps in ONE Pallas kernel
+per direction, with a hand-written backward.
+
+Round-3 measurement history (benchmarks/lstm_kernel_probe.json): the
+per-LAYER recurrence kernel (ops/lstm_scan.py) was bit-exact but ~8% SLOWER
+than XLA's fully-unrolled scan at the meta step — its cost is the XLA<->
+Pallas boundary: 8 dispatches per inner step and a [T, B, 4H] float32
+input-projection tensor materialized to HBM per layer per direction, plus a
+2-matmul gate-recompute backward. This kernel removes that boundary
+entirely:
+
+  * ONE forward kernel: grid=(T,), per step it advances ALL layers —
+    layer l's input is layer l-1's just-computed hidden state, still in
+    registers/VMEM. Only x[t] streams in; h/c residuals stream out. All
+    weights (wx0, stacked wxr/wh, biases) are VMEM-resident for the whole
+    scan. Inter-layer dropout applies streamed precomputed masks (scaled
+    {0, 1/keep}), drawn bit-identically to the XLA path's.
+  * ONE backward kernel: reversed grid, carries (dh, dc) per layer,
+    recomputes gate activations from residuals (cheaper than storing
+    [L, T, B, 4H] gates), walks layers top-down so the same-timestep
+    inter-layer gradient flows within the step, and ACCUMULATES
+    dwx/dwh/db into revisited output blocks — weight gradients never
+    round-trip through HBM as per-step partials. Only dx streams out.
+
+vmap (the meta step's task axis) prepends a grid dimension; the carry
+scratch resets at t == 0, which is the first step of every batch instance
+(batch-major iteration), so batching is safe — the same argument as
+ops/lstm_scan.py, CI-tested through the full FO meta gradient.
+
+The custom VJP wraps only the Pallas path: second-order MAML and non-TPU
+backends use the XLA scan (train/maml.py routes automatically).
+Replaces the reference's per-node torch loop workload
+(hybrid_model.py:94-102) on the training path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+# Test hook mirroring ops/lstm_scan.py's: run kernels interpreted (CPU CI).
+_FORCE_INTERPRET = False
+
+
+class force_interpret:
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self._saved = _FORCE_INTERPRET
+        _FORCE_INTERPRET = True
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self._saved
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
+                h_out_ref, c_out_ref, h_scr, c_scr,
+                *, n_layers, hidden, has_masks, compute_dtype):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    inp = x_ref[0].astype(compute_dtype)  # [B, C]
+    for l in range(n_layers):
+        wx = (wx0_ref[:] if l == 0 else wxr_ref[l - 1]).astype(compute_dtype)
+        wh = wh_ref[l].astype(compute_dtype)
+        gates = (
+            jnp.dot(inp, wx, preferred_element_type=jnp.float32)
+            + jnp.dot(
+                h_scr[l].astype(compute_dtype), wh,
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[pl.ds(l, 1), :]  # [1, 4H] broadcasts over B
+        )
+        i = _sigmoid(gates[:, :hidden])
+        f = _sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:])
+        c = f * c_scr[l] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[l] = h
+        c_scr[l] = c
+        h_out_ref[l, 0] = h
+        c_out_ref[l, 0] = c
+        if l < n_layers - 1:
+            nxt = h
+            if has_masks:
+                nxt = nxt * m_ref[l, 0]
+            inp = nxt.astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
+                wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
+                dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref,
+                dh_scr, dc_scr,
+                *, n_layers, hidden, has_masks, compute_dtype):
+    s = pl.program_id(0)  # time index is T-1-s via the index maps
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    d_from_above = None  # [B, H] gradient into layer l's output at this t
+    for l in range(n_layers - 1, -1, -1):
+        if l == 0:
+            inp = x_ref[0].astype(compute_dtype)
+            wx = wx0_ref[:].astype(compute_dtype)
+        else:
+            inp = h_all_ref[l - 1, 0]
+            if has_masks:
+                inp = inp * m_ref[l - 1, 0]
+            inp = inp.astype(compute_dtype)
+            wx = wxr_ref[l - 1].astype(compute_dtype)
+        wh = wh_ref[l].astype(compute_dtype)
+
+        # Recompute this (l, t)'s gate activations from residuals.
+        gates = (
+            jnp.dot(inp, wx, preferred_element_type=jnp.float32)
+            + jnp.dot(
+                h_prev_ref[l, 0].astype(compute_dtype), wh,
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[pl.ds(l, 1), :]
+        )
+        i = _sigmoid(gates[:, :hidden])
+        f = _sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:])
+        tc = jnp.tanh(c_all_ref[l, 0])
+
+        dh = dh_scr[l]
+        if l == n_layers - 1:
+            dh = dh + g_ref[0]
+        if d_from_above is not None:
+            dh = dh + d_from_above
+        dc = dc_scr[l] + dh * o * (1.0 - tc * tc)
+        do_pre = dh * tc * o * (1.0 - o)
+        di_pre = dc * g * i * (1.0 - i)
+        df_pre = dc * c_prev_ref[l, 0] * f * (1.0 - f)
+        dg_pre = dc * i * (1.0 - g * g)
+        dgates = jnp.concatenate(
+            [di_pre, df_pre, dg_pre, do_pre], axis=-1
+        )  # [B, 4H] float32
+
+        dgates_c = dgates.astype(compute_dtype)
+        # Recurrent carry to t-1: dgates @ wh^T, expressed as a transposed
+        # contraction so no materialized wh^T is needed.
+        dh_scr[l] = jax.lax.dot_general(
+            dgates_c, wh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_scr[l] = dc * f
+
+        # Input-gradient: to dx (layer 0) or layer below's dh (same t).
+        d_in = jax.lax.dot_general(
+            dgates_c, wx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l == 0:
+            dx_ref[0] = d_in
+            d_from_above = None
+        else:
+            if has_masks:
+                d_in = d_in * m_ref[l - 1, 0]
+            d_from_above = d_in
+
+        # Weight/bias gradients, accumulated across the revisited blocks.
+        dwx_upd = jax.lax.dot_general(
+            inp, dgates_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C_in, 4H]
+        dwh_upd = jax.lax.dot_general(
+            h_prev_ref[l, 0].astype(compute_dtype), dgates_c,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, 4H]
+        db_upd = jnp.sum(dgates, axis=0, keepdims=True)  # [1, 4H]
+
+        if l == 0:
+            @pl.when(s == 0)
+            def _(dwx_upd=dwx_upd):
+                dwx0_ref[:] = dwx_upd
+
+            @pl.when(s > 0)
+            def _(dwx_upd=dwx_upd):
+                dwx0_ref[:] = dwx0_ref[:] + dwx_upd
+        else:
+            @pl.when(s == 0)
+            def _(l=l, dwx_upd=dwx_upd):
+                dwxr_ref[l - 1] = dwx_upd
+
+            @pl.when(s > 0)
+            def _(l=l, dwx_upd=dwx_upd):
+                dwxr_ref[l - 1] = dwxr_ref[l - 1] + dwx_upd
+
+        @pl.when(s == 0)
+        def _(l=l, dwh_upd=dwh_upd, db_upd=db_upd):
+            dwh_ref[l] = dwh_upd
+            db_ref[pl.ds(l, 1), :] = db_upd
+
+        @pl.when(s > 0)
+        def _(l=l, dwh_upd=dwh_upd, db_upd=db_upd):
+            dwh_ref[l] = dwh_ref[l] + dwh_upd
+            db_ref[pl.ds(l, 1), :] = db_ref[pl.ds(l, 1), :] + db_upd
+
+    if n_layers == 1:
+        # The placeholder dwxr lane is never touched by the loop — zero it
+        # once so the output block never carries garbage (VMEM is not
+        # zero-initialized).
+        @pl.when(s == 0)
+        def _():
+            dwxr_ref[:] = jnp.zeros_like(dwxr_ref)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _specs_fwd(t, b, c_in, hidden, n_layers, has_masks):
+    g4 = 4 * hidden
+    in_specs = [
+        pl.BlockSpec((1, b, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, g4), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), hidden, g4), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_layers, hidden, g4), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, g4), lambda s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_layers - 1, 1, b, hidden), lambda s: (0, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    return in_specs, out_specs
+
+
+def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
+    t, b, c_in = x.shape
+    n_layers, hidden, g4 = wh.shape[0], wh.shape[1], wh.shape[2]
+    has_masks = masks is not None
+    in_specs, out_specs = _specs_fwd(t, b, c_in, hidden, n_layers, has_masks)
+    kernel = (
+        functools.partial(
+            _fwd_kernel, n_layers=n_layers, hidden=hidden, has_masks=True,
+            compute_dtype=compute_dtype,
+        )
+        if has_masks
+        else functools.partial(
+            _fwd_kernel_nomask, n_layers=n_layers, hidden=hidden,
+            compute_dtype=compute_dtype,
+        )
+    )
+    args = [x, wx0, wxr, wh, b2d] + ([masks] if has_masks else [])
+    h_all, c_all = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return h_all, c_all
+
+
+def _fwd_kernel_nomask(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
+                       h_out_ref, c_out_ref, h_scr, c_scr,
+                       *, n_layers, hidden, compute_dtype):
+    _fwd_kernel(
+        x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, None,
+        h_out_ref, c_out_ref, h_scr, c_scr,
+        n_layers=n_layers, hidden=hidden, has_masks=False,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _bwd_kernel_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
+                       c_prev_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
+                       dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref,
+                       dh_scr, dc_scr, *, n_layers, hidden, compute_dtype):
+    _bwd_kernel(
+        g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
+        wx0_ref, wxr_ref, wh_ref, b_ref, None,
+        dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref, dh_scr, dc_scr,
+        n_layers=n_layers, hidden=hidden, has_masks=False,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
+                compute_dtype, interpret):
+    t, b, c_in = x.shape
+    n_layers, hidden, g4 = wh.shape[0], wh.shape[1], wh.shape[2]
+    has_masks = masks is not None
+    h_prev = jnp.concatenate(
+        [jnp.zeros_like(h_all[:, :1]), h_all[:, :-1]], axis=1
+    )
+    c_prev = jnp.concatenate(
+        [jnp.zeros_like(c_all[:, :1]), c_all[:, :-1]], axis=1
+    )
+    rev3 = lambda s: (t - 1 - s, 0, 0)
+    rev4 = lambda s: (0, t - 1 - s, 0, 0)
+    const2 = lambda s: (0, 0)
+    const3 = lambda s: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, b, hidden), rev3, memory_space=pltpu.VMEM),   # g
+        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # x
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, g4), const2, memory_space=pltpu.VMEM),     # wx0
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), hidden, g4), const3,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, hidden, g4), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, g4), const2, memory_space=pltpu.VMEM),  # b
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_layers - 1, 1, b, hidden), lambda s: (0, t - 1 - s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # dx
+        pl.BlockSpec((c_in, g4), const2, memory_space=pltpu.VMEM),     # dwx0
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), hidden, g4), const3,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, hidden, g4), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, g4), const2, memory_space=pltpu.VMEM),  # db
+    ]
+    kernel = (
+        functools.partial(
+            _bwd_kernel, n_layers=n_layers, hidden=hidden, has_masks=True,
+            compute_dtype=compute_dtype,
+        )
+        if has_masks
+        else functools.partial(
+            _bwd_kernel_nomask, n_layers=n_layers, hidden=hidden,
+            compute_dtype=compute_dtype,
+        )
+    )
+    args = [g, x, h_all, h_prev, c_all, c_prev, wx0, wxr, wh, b2d]
+    if has_masks:
+        args.append(masks)
+    dx, dwx0, dwxr, dwh, db = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((c_in, g4), jnp.float32),
+            jax.ShapeDtypeStruct((max(n_layers - 1, 1), hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dx, dwx0, dwxr, dwh, db
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _stack_pallas(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
+    h_all, _ = _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret)
+    return h_all[-1]  # [T, B, H] top layer
+
+
+def _stack_fwd(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
+    h_all, c_all = _fwd_pallas(
+        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+    )
+    return h_all[-1], (x, wx0, wxr, wh, b2d, masks, h_all, c_all)
+
+
+def _stack_bwd(compute_dtype, interpret, res, g):
+    x, wx0, wxr, wh, b2d, masks, h_all, c_all = res
+    dx, dwx0, dwxr, dwh, db = _bwd_pallas(
+        g, x, h_all, c_all, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+    )
+    # Cotangent dtypes must match the primals'.
+    dx = dx.astype(x.dtype)
+    dwx0 = dwx0.astype(wx0.dtype)
+    dwxr = dwxr.astype(wxr.dtype)
+    dwh = dwh.astype(wh.dtype)
+    db = db.astype(b2d.dtype)
+    # Masks are non-differentiable sampling artifacts; returning zeros keeps
+    # the signature while contributing nothing (matches XLA-path dropout,
+    # where the mask is a constant of the trace).
+    dmasks = None if masks is None else jnp.zeros_like(masks)
+    return dx, dwx0, dwxr, dwh, db, dmasks
+
+
+_stack_pallas.defvjp(_stack_fwd, _stack_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def stack_supported(t: int, b: int, c_in: int, hidden: int, n_layers: int,
+                    itemsize: int = 4) -> bool:
+    if not _HAVE_PALLAS:
+        return False
+    if hidden % 128 or b % 8 or t < 1 or n_layers < 1:
+        return False
+    if c_in % 128:
+        return False
+    g4 = 4 * hidden
+    weights = (c_in * g4 + (2 * n_layers - 1) * hidden * g4 + n_layers * g4) * 4
+    # Backward peak: 6 streamed [*, b, hidden]-ish blocks double-buffered,
+    # plus dx block, plus weight-grad accumulators resident.
+    streamed = b * (c_in + hidden * (4 + n_layers - 1) + hidden + c_in) * 4
+    accum = weights  # same shapes as the weights
+    scratch = 2 * n_layers * b * hidden * 4
+    return 2 * streamed + weights + accum + scratch <= _VMEM_BUDGET_BYTES
+
+
+def lstm_stack_last_all(
+    params,
+    x,
+    *,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    rng=None,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Run the whole stacked LSTM fused: x [B, T, C] -> h_top [B, H].
+
+    Matches `models.lstm.apply_lstm` exactly, including torch-style
+    inter-layer dropout (masks drawn from the same fold_in(rng, l) streams,
+    so train-mode numerics are bit-comparable to the XLA path).
+    """
+    layers = params["layers"]
+    n_layers = len(layers)
+    hidden = layers[0]["wh"].shape[0]
+    x_tbc = jnp.swapaxes(x, 0, 1)  # [T, B, C]
+    t, b, c_in = x_tbc.shape
+
+    wx0 = layers[0]["wx"]
+    if n_layers > 1:
+        wxr = jnp.stack([layers[l]["wx"] for l in range(1, n_layers)])
+    else:
+        wxr = jnp.zeros((1, hidden, 4 * hidden), wx0.dtype)
+    wh = jnp.stack([layers[l]["wh"] for l in range(n_layers)])
+    b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
+
+    masks = None
+    if train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
+        keep = 1.0 - dropout_rate
+        masks = jnp.stack([
+            jax.random.bernoulli(
+                jax.random.fold_in(rng, l), keep, (t, b, hidden)
+            ).astype(jnp.float32) / keep
+            for l in range(n_layers - 1)
+        ])  # [L-1, T, B, H], values in {0, 1/keep}
+
+    h_top = _stack_pallas(
+        x_tbc, wx0, wxr, wh, b2d, compute_dtype,
+        interpret or _FORCE_INTERPRET, masks,
+    )
+    return h_top[-1]  # [B, H] last timestep

@@ -223,6 +223,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true")
     args = ap.parse_args(argv)
+    if args.cpu_mesh:
+        # The image's sitecustomize pins jax.config.jax_platforms to the
+        # axon TPU tunnel regardless of the env var (CLAUDE.md) — force
+        # BOTH before first jax use.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     update = cpu_mesh() if args.cpu_mesh else tpu_single_chip()
     data = _merge_out(update)
     print(json.dumps(data))

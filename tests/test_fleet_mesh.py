@@ -55,12 +55,16 @@ def _seed_meta_ckpt(cfg):
 def test_fleet_adaptation_matches_serial_engine(tmp_path):
     """Each region's fleet result must match the serial engine bit-for-bit
     in protocol: same epoch losses and val MSE (same rng streams, same
-    batch order, same optimizer)."""
-    cfg = _cfg(tmp_path / "fleet")
+    batch order, same optimizer). Pinned to threefry keys: the default
+    "rbg" impl draws different hardware-RNG bits under shard_map sharding
+    than outside it (jax.random docs), so exact equivalence is only
+    provable on a sharding-stable key impl — the rbg default is covered by
+    the statistical check below."""
+    cfg = _cfg(tmp_path / "fleet", rng_impl="threefry2x32")
     _seed_meta_ckpt(cfg)
     fleet = run_fleet_adaptation(cfg, REGIONS, log_cb=lambda *a: None)
 
-    cfg2 = _cfg(tmp_path / "serial")
+    cfg2 = _cfg(tmp_path / "serial", rng_impl="threefry2x32")
     _seed_meta_ckpt(cfg2)
     for (box, name), fres in zip(REGIONS, fleet):
         sres = run_adaptation(cfg2, box, name, log_cb=lambda *a: None)
@@ -73,6 +77,22 @@ def test_fleet_adaptation_matches_serial_engine(tmp_path):
             err_msg=f"{name} val MSE diverges",
         )
         assert os.path.exists(fres.ckpt_path)
+
+
+def test_fleet_close_to_serial_under_rbg(tmp_path):
+    """With the default rbg keys fleet and serial draw different dropout
+    masks (sharding-dependent bits) — losses must still agree statistically
+    (same data, same optimizer; only the mask draw differs)."""
+    cfg = _cfg(tmp_path / "fleet")
+    _seed_meta_ckpt(cfg)
+    fleet = run_fleet_adaptation(cfg, REGIONS[:1], log_cb=lambda *a: None)
+    cfg2 = _cfg(tmp_path / "serial")
+    _seed_meta_ckpt(cfg2)
+    sres = run_adaptation(cfg2, *REGIONS[0], log_cb=lambda *a: None)
+    np.testing.assert_allclose(
+        fleet[0].epoch_losses, sres.epoch_losses, rtol=2e-2,
+        err_msg="fleet/serial losses not statistically close under rbg",
+    )
 
 
 def test_fleet_pads_to_mesh_and_drops_padding(tmp_path):

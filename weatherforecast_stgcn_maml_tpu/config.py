@@ -228,6 +228,12 @@ class MetaConfig:
     # tasks with the same scalar (quirk 3) making sampling uniform; we track
     # per-task query losses.
     difficulty_ema: float = 0.9
+    # PRNG implementation for the training-path keys (dropout masks):
+    # "rbg" rides the hardware RngBitGenerator — measured 487 vs 561 ms
+    # clean meta steps against threefry (the default generator costs real
+    # VPU time at ~50M bernoulli bits per inner step). "threefry2x32"
+    # restores JAX's portable, backend-stable stream (utils/prng.py).
+    rng_impl: str = "rbg"
     # Write the resumable `ckpt_last` every N epochs (best/final are always
     # written). A checkpoint write is ~1 s through the tunnel, comparable to
     # a meta step (physical floor ~0.12 s/step at bf16 peak — see bench.py's
@@ -255,6 +261,8 @@ class AdaptConfig:
     # backward (scaling_study.md), narrower half-fill the rows.
     batch_size: int = 2
     shuffle: bool = True
+    # PRNG implementation for adaptation dropout keys (see meta.rng_impl).
+    rng_impl: str = "rbg"
     # Stream very long histories through HBM in chunks of this many
     # timesteps (0 = keep the whole [T, N, C] tensor device-resident).
     # Chunks overlap by window+horizon so no training window is lost.

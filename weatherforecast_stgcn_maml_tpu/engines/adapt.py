@@ -112,7 +112,8 @@ def _cached_runners(model_cfg, spec, region_name, base_lr, clip_norm, params):
     return _RUNNER_CACHE[key]
 
 
-def adapt_epoch_rng(seed: int, region_name: str, epoch: int, chunk: int = 0):
+def adapt_epoch_rng(seed: int, region_name: str, epoch: int, chunk: int = 0,
+                    impl: str | None = None):
     """Dropout rng for one adaptation epoch, folded over the REGION identity
     (stable name hash) as well as (epoch, chunk). Without the region fold,
     every region — and every fleet lane in a zone group — would draw
@@ -122,9 +123,11 @@ def adapt_epoch_rng(seed: int, region_name: str, epoch: int, chunk: int = 0):
     i numerically (tests/test_fleet_mesh.py)."""
     import zlib
 
+    from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
+
     rid = zlib.crc32(region_name.encode()) % (2**31)
     return jax.random.fold_in(
-        jax.random.fold_in(jax.random.key(seed + 7), rid), epoch * 1000 + chunk
+        jax.random.fold_in(make_key(seed + 7, impl), rid), epoch * 1000 + chunk
     )
 
 
@@ -266,7 +269,7 @@ def run_adaptation(
                 node_mask,
                 koppen,
                 jnp.float32(lr),
-                adapt_epoch_rng(ad.seed, region_name, epoch, ci),
+                adapt_epoch_rng(ad.seed, region_name, epoch, ci, impl=ad.rng_impl),
             )
             # Start the NEXT chunk's host->HBM transfer before blocking on
             # this chunk's losses — device_put and the dispatched epoch are

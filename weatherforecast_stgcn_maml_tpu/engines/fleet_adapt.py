@@ -211,8 +211,10 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
         # Region-folded dropout rngs (padding lanes mirror lane 0): every
         # lane draws its own masks, matching the serial engine per region.
         rngs = jnp.stack(
-            [adapt_epoch_rng(ad.seed, name, epoch) for _, name in group]
-            + [adapt_epoch_rng(ad.seed, group[0][1], epoch)] * (total - r)
+            [adapt_epoch_rng(ad.seed, name, epoch, impl=ad.rng_impl)
+             for _, name in group]
+            + [adapt_epoch_rng(ad.seed, group[0][1], epoch, impl=ad.rng_impl)]
+            * (total - r)
         )
         states, losses = run_epoch(
             states, features_s, jnp.asarray(batches), a_hat_s, mask_s,

@@ -41,6 +41,7 @@ from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
 from weatherforecast_stgcn_maml_tpu.utils.metrics import CsvLogger, JsonlLogger
 from weatherforecast_stgcn_maml_tpu.utils.profiling import Timer, block_until_ready
 
@@ -266,7 +267,7 @@ def run_meta_training(
         tasks = select_tasks(staged, idx)
         state, metrics = meta_step(
             state, tasks,
-            jax.random.fold_in(jax.random.key(meta_cfg.seed + 1), epoch),
+            jax.random.fold_in(make_key(meta_cfg.seed + 1, meta_cfg.rng_impl), epoch),
         )
         block_until_ready(metrics["meta_loss"])
         per_task = np.asarray(metrics["per_task_loss"])

@@ -48,7 +48,9 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# Gate against the raised compiler cap (64 MiB backward), with headroom for
+# Mosaic's own scoped temporaries; physical VMEM is 128 MiB on v4/v5 chips.
+_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
 # Test hook mirroring ops/lstm_scan.py's: run kernels interpreted (CPU CI).
 _FORCE_INTERPRET = False
@@ -312,9 +314,20 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
         ],
+        compiler_params=_compiler_params(interpret, 48),
         interpret=interpret,
     )(*args)
     return h_all, c_all
+
+
+def _compiler_params(interpret: bool, mib: int):
+    # Mosaic's default scoped-VMEM cap is 16 MiB; the physical VMEM on
+    # v4/v5-class chips is 128 MiB. The backward kernel's resident weights +
+    # gradient accumulators + double-buffered streams legitimately need
+    # more than the default at reference shapes (observed 21 MiB request).
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mib * 1024 * 1024)
 
 
 def _fwd_kernel_nomask(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
@@ -418,6 +431,7 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
         ],
+        compiler_params=_compiler_params(interpret, 64),
         interpret=interpret,
     )(*args)
     return dx, dwx0, dwxr, dwh, db

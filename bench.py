@@ -208,14 +208,17 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
             f"floor {floor_s * 1e3:.0f} ms/step at 100% bf16 MFU"
         )
 
+    from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
+
+    bench_key = make_key(1, meta_cfg.rng_impl)
     t0 = time.perf_counter()
-    state, metrics = step(state, tasks, jax.random.key(1))
+    state, metrics = step(state, tasks, bench_key)
     block_until_ready(metrics["meta_loss"])
     compile_s = time.perf_counter() - t0
     _log(f"[bench] first step (compile + run): {compile_s:.2f}s")
     # One extra warmup: the remote-TPU tunnel's first post-compile dispatch
     # is routinely slow.
-    state, metrics = step(state, tasks, jax.random.key(1))
+    state, metrics = step(state, tasks, bench_key)
     block_until_ready(metrics["meta_loss"])
 
     # The shared TPU pool behind the tunnel shows ~60x contention swings
@@ -243,7 +246,9 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
         burst_start = len(times)
         for r in range(reps):
             t0 = time.perf_counter()
-            state, metrics = step(state, tasks, jax.random.key(2 + burst * reps + r))
+            state, metrics = step(
+                state, tasks, jax.random.fold_in(bench_key, 2 + burst * reps + r)
+            )
             # Force a device->host value fetch: under pool contention the
             # tunnel's block_until_ready has been observed returning early.
             float(np.asarray(metrics["meta_loss"]))

@@ -43,7 +43,7 @@ from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
 )
 from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
 from weatherforecast_stgcn_maml_tpu.utils.metrics import CsvLogger, JsonlLogger
-from weatherforecast_stgcn_maml_tpu.utils.profiling import Timer, block_until_ready
+from weatherforecast_stgcn_maml_tpu.utils.profiling import Timer
 
 
 @dataclass
@@ -269,11 +269,16 @@ def run_meta_training(
             state, tasks,
             jax.random.fold_in(make_key(meta_cfg.seed + 1, meta_cfg.rng_impl), epoch),
         )
-        block_until_ready(metrics["meta_loss"])
-        per_task = np.asarray(metrics["per_task_loss"])
+        # ONE batched device->host fetch: separate np.asarray/float() calls
+        # each pay the tunnel's ~25-30 ms dispatch floor — 3 sequential
+        # fetches cost ~0.1 s/epoch on top of a 0.49 s step.
+        loss_arr, per_task, lr_arr = jax.device_get(
+            (metrics["meta_loss"], metrics["per_task_loss"],
+             metrics["learning_rate"])
+        )
         sampler.update(idx, per_task)
-        loss = float(metrics["meta_loss"])
-        lr = float(metrics["learning_rate"])
+        loss = float(loss_arr)
+        lr = float(lr_arr)
         dt = time.perf_counter() - t0
 
         csv.log(epoch=epoch + 1, meta_loss=loss, learning_rate=lr)

@@ -48,9 +48,15 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-# Gate against the raised compiler cap (64 MiB backward), with headroom for
-# Mosaic's own scoped temporaries; physical VMEM is 128 MiB on v4/v5 chips.
-_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+# Gate against the raised compiler cap (64 MiB backward). Mosaic's actual
+# scoped allocation runs ~1.8x the naive block accounting below (measured:
+# a 38 MiB estimate requested 69.5 MiB at B=2048 — live gate intermediates
+# and pipelining buffers beyond the 2x stream double-buffer), so the budget
+# here is 64/1.8 rounded down. B=512 reference shapes estimate ~12 MiB and
+# pass; B>=2048 single-chip routes to the XLA scan — grids that large are
+# the node-sharded path's job (parallel/spatial.py), where the per-shard B
+# shrinks back under the gate. Physical VMEM is 128 MiB on v4/v5 chips.
+_VMEM_BUDGET_BYTES = 34 * 1024 * 1024
 
 # Test hook mirroring ops/lstm_scan.py's: run kernels interpreted (CPU CI).
 _FORCE_INTERPRET = False

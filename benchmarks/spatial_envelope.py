@@ -119,6 +119,12 @@ def tpu_single_chip(sizes=(2048, 4096, 8192), rounds=6) -> dict:
             or {}
         )
         flops[n] = float(an.get("flops", 0.0))
+        if flops[n] <= 0.0:
+            # The axon backend exposes no client-side cost analysis — use
+            # bench.py's analytic matmul-FLOP model (bwd ~ 2x fwd).
+            from bench import _analytic_inner_flops
+
+            flops[n] = _analytic_inner_flops(model_cfg, n)
         opt0 = tx.init(params0)
         t0 = time.perf_counter()
         p1, o1, l1 = fn(params0, opt0, a_hat, x, y, mask, jax.random.key(1))
@@ -147,8 +153,11 @@ def tpu_single_chip(sizes=(2048, 4096, 8192), rounds=6) -> dict:
             "flops_per_step": flops[n],
             "mfu_vs_bf16_peak": (flops[n] / per_step) / peak if flops[n] else None,
         }
+        mfu = out[str(n)]["mfu_vs_bf16_peak"]
         print(f"[spatial-env] N={n}: {per_step * 1e3:.1f} ms/step, "
-              f"MFU {out[str(n)]['mfu_vs_bf16_peak']:.1%}", file=sys.stderr)
+              f"MFU {mfu:.1%}" if mfu is not None else
+              f"[spatial-env] N={n}: {per_step * 1e3:.1f} ms/step",
+              file=sys.stderr)
     return {"tpu_single_chip": {"chain_steps": CHAIN_STEPS, "sizes": out}}
 
 

@@ -396,6 +396,38 @@ def kernel_parity(dtype: str) -> dict:
         apply_encoder(enc, a, x_in, mc, train=False, use_pallas=False),
     )
 
+    # Fused GCN TRAINING kernel: forward + full gradient with dropout
+    # masks active (drawn identically in both paths).
+    def enc_train_loss(use_pallas):
+        def f(p, xx):
+            out = apply_encoder(
+                p, a, xx, mc, train=True, rng=jax.random.key(6),
+                use_pallas=use_pallas,
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return f
+
+    checks["gcn_train_fwd"] = rel_err(
+        jax.jit(
+            lambda p, xx: apply_encoder(
+                p, a, xx, mc, train=True, rng=jax.random.key(6),
+                use_pallas=True,
+            )
+        )(enc, x_in),
+        apply_encoder(
+            enc, a, x_in, mc, train=True, rng=jax.random.key(6),
+            use_pallas=False,
+        ),
+    )
+    et_ref = jax.jit(jax.grad(enc_train_loss(False), argnums=(0, 1)))(enc, x_in)
+    et_got = jax.jit(jax.grad(enc_train_loss(True), argnums=(0, 1)))(enc, x_in)
+    checks["gcn_train_bwd_dx"] = rel_err(et_got[1], et_ref[1])
+    checks["gcn_train_bwd_dw"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(et_ref[0]), jax.tree.leaves(et_got[0]))
+    )
+
     lp = init_lstm(jax.random.key(2), c, hid, 4)
     x_seq = jnp.asarray(rng.normal(size=(n, t_len, c)).astype(np.float32))
     checks["lstm_eval_fused"] = rel_err(

@@ -130,7 +130,11 @@ def main(argv=None):
 
         return jax.jit(jax.vmap(one_task, in_axes=(0, 0, None)))
 
-    rngs = jax.random.split(jax.random.key(2), per)
+    from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
+
+    # Production rng impl (rbg by default) — threefry mask generation was
+    # a measured ~70 ms/meta-step cost (benchmarks/rng_impl_probe.json).
+    rngs = jax.random.split(make_key(2, meta_cfg.rng_impl), per)
 
     for label, train, clip in [
         ("inner_sgd", True, True),
@@ -199,10 +203,11 @@ def main(argv=None):
     )
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    for unroll in (1, 6, model_cfg.window):
+    for unroll, kern in ((1, "xla"), (6, "xla"), (model_cfg.window, "xla"),
+                         (model_cfg.window, "auto")):
 
-        def lstm_loss(p, h, u=unroll):
-            o = apply_lstm(p, h, train=False, compute_dtype=dt, unroll=u)
+        def lstm_loss(p, h, u=unroll, k=kern):
+            o = apply_lstm(p, h, train=False, compute_dtype=dt, unroll=u, kernel=k)
             return (o.astype(jnp.float32) ** 2).mean()
 
         def lstm_chain(h, p, loss=lstm_loss):
@@ -219,7 +224,9 @@ def main(argv=None):
             g = lstm_fn(h_lstm, state.params["lstm"])
             np.asarray(jax.tree.leaves(g)[0])
 
-        record(f"lstm_grad_unroll{unroll}", timeit(run_lstm, args.reps))
+        label = (f"lstm_grad_unroll{unroll}" if kern == "xla"
+                 else "lstm_grad_stack_kernel")
+        record(label, timeit(run_lstm, args.reps))
 
     # ---- GCN aggregation layouts (fwd-only chains) ----
     acc = accum_dtype(dt)

@@ -59,12 +59,35 @@ def apply_encoder(
     if use_pallas and (not train or cfg.gcn_dropout == 0.0):
         # No inter-layer dropout -> fuse the WHOLE stack in one Pallas
         # kernel (activations stay in VMEM across layers; measured 1.17x
-        # vs XLA at reference shapes on v5e, bit-exact). Training with
-        # dropout stays on the XLA path, where inter-layer fusion is
-        # impossible anyway and XLA matches per-layer Pallas.
+        # vs XLA at reference shapes on v5e, bit-exact).
         from weatherforecast_stgcn_maml_tpu.ops.fused_gcn import fused_gcn_stack
 
         return fused_gcn_stack(params["layers"], a_hat, x, compute_dtype=dtype)
+    if use_pallas and train and x.ndim == 3:
+        # TRAINING path (round 3): the fused encoder kernel folds every
+        # layer's matmuls + ReLU + dropout-mask multiply into one Pallas
+        # program per direction with a hand-written backward
+        # (ops/fused_gcn_train.py) — masks drawn bit-identically to the
+        # layerwise path below. First-order only (custom VJP): SO MAML
+        # passes use_pallas=False via train/maml.py.
+        from weatherforecast_stgcn_maml_tpu.ops import fused_gcn_train as fgt
+        from weatherforecast_stgcn_maml_tpu.ops.fused_gcn_train import (
+            gcn_stack_train,
+            train_supported,
+        )
+
+        t, n, c_in = x.shape
+        hid = params["layers"][0]["w"].shape[1]
+        if fgt._FORCE_INTERPRET or (
+            jax.default_backend() == "tpu"
+            and dtype != jnp.float64
+            and train_supported(t, n, c_in, hid, len(params["layers"]))
+        ):
+            return gcn_stack_train(
+                params["layers"], a_hat, x,
+                dropout_rate=cfg.gcn_dropout, rng=rng,
+                final_dropout=final_dropout, compute_dtype=dtype,
+            )
 
     h = x
     n_layers = len(params["layers"])

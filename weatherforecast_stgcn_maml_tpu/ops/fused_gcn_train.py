@@ -1,0 +1,391 @@
+"""Fused GCN encoder TRAINING kernel: stack + ReLU + dropout, custom VJP.
+
+The round-2 fused GCN (ops/fused_gcn.py) is eval-only: with inter-layer
+dropout active the encoder trains through the XLA per-layer path, paying
+dropout as separate bernoulli/where ops and round-tripping [W, N, hidden]
+activations through HBM at every layer boundary. Round-3's perf probe puts
+the full-model dropout machinery at ~0.5 ms of the 2.6 ms inner step and
+the encoder grad at 0.97 ms vs its ~0.6 ms matmul floor.
+
+This kernel runs the WHOLE encoder — every layer's H@W, A@(HW), bias,
+ReLU, and dropout-mask multiply — inside one Pallas program per direction:
+
+  * forward: grid=(W,) over time slices (no cross-step state — each slice
+    is independent); A and all weights VMEM-resident; per-layer
+    post-dropout activations stream out as residuals;
+  * backward: grid=(W,) again (no reversal needed), recovers relu' from
+    the post-dropout residuals (h>0 iff z>0 wherever the mask is live;
+    masked positions contribute zero via the mask factor), uses transposed
+    `dot_general` contractions instead of materialized A^T/W^T, and
+    accumulates dW/db into revisited output blocks.
+
+Dropout masks are drawn in XLA bit-identically to the layerwise path
+(same fold_in(rng, l) streams, full [W, N, hidden] draw) and streamed as
+{0, 1/keep} scale factors — so train-mode numerics match the XLA encoder,
+which CI asserts through the Pallas interpreter.
+
+Custom VJP => first-order only; second-order MAML and non-TPU backends use
+the XLA path (train/maml.py routes automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+# Same empirical calibration as ops/fused_lstm_stack.py: Mosaic's scoped
+# allocation runs ~1.8x the naive block accounting; caps raised per-kernel.
+_VMEM_BUDGET_BYTES = 34 * 1024 * 1024
+
+_FORCE_INTERPRET = False
+
+
+class force_interpret:
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self._saved = _FORCE_INTERPRET
+        _FORCE_INTERPRET = True
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self._saved
+
+
+def _compiler_params(interpret: bool, mib: int):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mib * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
+                *, n_layers, n_masks, compute_dtype):
+    a = a_ref[:].astype(compute_dtype)
+    h = x_ref[0]
+    for l in range(n_layers):
+        w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
+        hw = jnp.dot(
+            h.astype(compute_dtype), w, preferred_element_type=jnp.float32
+        )
+        z = (
+            jnp.dot(
+                a, hw.astype(compute_dtype), preferred_element_type=jnp.float32
+            )
+            + b_ref[pl.ds(l, 1), :]
+        )
+        h = jnp.maximum(z, 0.0)
+        if l < n_masks:
+            h = h * m_ref[l, 0]
+        h_out_ref[l, 0] = h
+
+
+def _fwd_kernel_nomask(x_ref, a_ref, w0_ref, wr_ref, b_ref, h_out_ref,
+                       *, n_layers, compute_dtype):
+    _fwd_kernel(
+        x_ref, a_ref, w0_ref, wr_ref, b_ref, None, h_out_ref,
+        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype,
+    )
+
+
+def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
+                dx_ref, dw0_ref, dwr_ref, db_ref,
+                *, n_layers, n_masks, compute_dtype):
+    t = pl.program_id(0)
+    a = a_ref[:].astype(compute_dtype)
+    dh = g_ref[0]  # [B, hidden] cotangent of the final layer's output
+    for l in range(n_layers - 1, -1, -1):
+        h_post = h_all_ref[l, 0]
+        # relu'(z) recovered from the post-dropout residual: where the mask
+        # is live, h_post > 0 iff z > 0; where the mask is 0 the mask
+        # factor below zeroes the contribution anyway.
+        dz = dh * (h_post > 0.0).astype(jnp.float32)
+        if l < n_masks:
+            dz = dz * m_ref[l, 0]
+        # dhw = A^T @ dz via a transposed contraction (no materialized A^T).
+        dhw = jax.lax.dot_general(
+            a, dz.astype(compute_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        inp = (x_ref[0] if l == 0 else h_all_ref[l - 1, 0]).astype(compute_dtype)
+        dw_upd = jax.lax.dot_general(
+            inp, dhw.astype(compute_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_upd = jnp.sum(dz, axis=0, keepdims=True)
+        w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
+        d_in = jax.lax.dot_general(
+            dhw.astype(compute_dtype), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l == 0:
+            dx_ref[0] = d_in
+        else:
+            dh = d_in
+
+        if l == 0:
+            @pl.when(t == 0)
+            def _(dw_upd=dw_upd):
+                dw0_ref[:] = dw_upd
+
+            @pl.when(t > 0)
+            def _(dw_upd=dw_upd):
+                dw0_ref[:] = dw0_ref[:] + dw_upd
+        else:
+            @pl.when(t == 0)
+            def _(l=l, dw_upd=dw_upd):
+                dwr_ref[l - 1] = dw_upd
+
+            @pl.when(t > 0)
+            def _(l=l, dw_upd=dw_upd):
+                dwr_ref[l - 1] = dwr_ref[l - 1] + dw_upd
+
+        @pl.when(t == 0)
+        def _(l=l, db_upd=db_upd):
+            db_ref[pl.ds(l, 1), :] = db_upd
+
+        @pl.when(t > 0)
+        def _(l=l, db_upd=db_upd):
+            db_ref[pl.ds(l, 1), :] = db_ref[pl.ds(l, 1), :] + db_upd
+
+    if n_layers == 1:
+        @pl.when(t == 0)
+        def _():
+            dwr_ref[:] = jnp.zeros_like(dwr_ref)
+
+
+def _bwd_kernel_nomask(g_ref, x_ref, a_ref, w0_ref, wr_ref, h_all_ref,
+                       dx_ref, dw0_ref, dwr_ref, db_ref,
+                       *, n_layers, compute_dtype):
+    _bwd_kernel(
+        g_ref, x_ref, a_ref, w0_ref, wr_ref, None, h_all_ref,
+        dx_ref, dw0_ref, dwr_ref, db_ref,
+        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret):
+    t, n, c_in = x.shape
+    n_layers, hid = b2d.shape
+    n_masks = 0 if masks is None else masks.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), hid, hid), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, a_hat, w0, wr, b2d]
+    if masks is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_masks, 1, n, hid), lambda s: (0, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(masks)
+        kernel = functools.partial(
+            _fwd_kernel, n_layers=n_layers, n_masks=n_masks,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_nomask, n_layers=n_layers, compute_dtype=compute_dtype,
+        )
+    h_all = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (n_layers, 1, n, hid), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_layers, t, n, hid), jnp.float32),
+        compiler_params=_compiler_params(interpret, 48),
+        interpret=interpret,
+    )(*args)
+    return h_all
+
+
+def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret):
+    t, n, c_in = x.shape
+    n_layers, _, hid = h_all.shape[0], h_all.shape[1], h_all.shape[3]
+    n_masks = 0 if masks is None else masks.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, n, hid), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, n), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), hid, hid), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [g, x, a_hat, w0, wr]
+    if masks is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_masks, 1, n, hid), lambda s: (0, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(masks)
+    in_specs.append(
+        pl.BlockSpec(
+            (n_layers, 1, n, hid), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    args.append(h_all)
+    kernel = (
+        functools.partial(
+            _bwd_kernel, n_layers=n_layers, n_masks=n_masks,
+            compute_dtype=compute_dtype,
+        )
+        if masks is not None
+        else functools.partial(
+            _bwd_kernel_nomask, n_layers=n_layers, compute_dtype=compute_dtype,
+        )
+    )
+    dx, dw0, dwr, db = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (max(n_layers - 1, 1), hid, hid), lambda s: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_layers, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, n, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((c_in, hid), jnp.float32),
+            jax.ShapeDtypeStruct((max(n_layers - 1, 1), hid, hid), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, hid), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret, 64),
+        interpret=interpret,
+    )(*args)
+    return dx, dw0, dwr, db
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gcn_train_pallas(x, a_hat, w0, wr, b2d, compute_dtype, interpret, masks):
+    h_all = _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret)
+    return h_all[-1]
+
+
+def _gcn_fwd(x, a_hat, w0, wr, b2d, compute_dtype, interpret, masks):
+    h_all = _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret)
+    return h_all[-1], (x, a_hat, w0, wr, masks, h_all)
+
+
+def _gcn_bwd(compute_dtype, interpret, res, g):
+    x, a_hat, w0, wr, masks, h_all = res
+    dx, dw0, dwr, db = _bwd_pallas(
+        g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret
+    )
+    dmasks = None if masks is None else jnp.zeros_like(masks)
+    # a_hat is a constant of the graph (precomputed adjacency) — a zero
+    # cotangent keeps the signature without computing an [N, N] gradient
+    # nothing consumes (the graph is never trained).
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(a_hat),
+        dw0.astype(w0.dtype),
+        dwr.astype(wr.dtype),
+        db.astype(jnp.float32),
+        dmasks,
+    )
+
+
+_gcn_train_pallas.defvjp(_gcn_fwd, _gcn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def train_supported(t: int, n: int, c_in: int, hid: int, n_layers: int) -> bool:
+    if not _HAVE_PALLAS:
+        return False
+    if hid % 128 or n % 8 or t < 1 or n_layers < 1:
+        return False
+    a_bytes = n * n * 4
+    weights = (c_in * hid + (2 * n_layers - 1) * hid * hid // 1) * 4
+    streamed = n * (c_in + hid * (n_layers + 1) + hid + c_in) * 4
+    return 2 * streamed + a_bytes + 2 * weights <= _VMEM_BUDGET_BYTES
+
+
+def gcn_stack_train(
+    layers,
+    a_hat,
+    x,
+    *,
+    dropout_rate: float,
+    rng,
+    final_dropout: bool = False,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Fused training forward of the encoder stack: x [W, N, C] -> [W, N, hid].
+
+    Matches `models.stgcn.apply_encoder`'s train path exactly — masks are
+    drawn from the same fold_in(rng, l) streams over the full [W, N, hid]
+    shape. First-order differentiable (custom VJP).
+    """
+    t, n, _ = x.shape
+    n_layers = len(layers)
+    hid = layers[0]["w"].shape[1]
+    w0 = layers[0]["w"]
+    if n_layers > 1:
+        wr = jnp.stack([layers[l]["w"] for l in range(1, n_layers)])
+    else:
+        wr = jnp.zeros((1, hid, hid), w0.dtype)
+    b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
+
+    n_masks = n_layers if final_dropout else n_layers - 1
+    masks = None
+    if dropout_rate > 0.0 and rng is not None and n_masks > 0:
+        keep = 1.0 - dropout_rate
+        masks = jnp.stack([
+            jax.random.bernoulli(
+                jax.random.fold_in(rng, l), keep, (t, n, hid)
+            ).astype(jnp.float32) / keep
+            for l in range(n_masks)
+        ])  # [n_masks, W, N, hid]
+
+    return _gcn_train_pallas(
+        x, a_hat, w0, wr, b2d, compute_dtype,
+        interpret or _FORCE_INTERPRET, masks,
+    )

@@ -89,11 +89,16 @@ def adapt_and_query_loss(
     This is the per-task function whose gradient w.r.t. `params` is the MAML
     meta-gradient (exact for second_order=True, first-order otherwise).
     """
-    if cfg.second_order and model_cfg.lstm_kernel != "xla":
-        # The fused Pallas LSTM recurrence (ops/lstm_scan.py) is a custom
-        # VJP — first-order differentiable only. Grad-of-grad through the
-        # inner loop needs the twice-differentiable XLA scan.
-        model_cfg = dataclasses.replace(model_cfg, lstm_kernel="xla")
+    if cfg.second_order and (
+        model_cfg.lstm_kernel != "xla" or model_cfg.use_pallas_gcn
+    ):
+        # The fused Pallas kernels (LSTM recurrence/stack, GCN train stack,
+        # eval GCN stack) are custom VJPs — first-order differentiable
+        # only. Grad-of-grad through the inner loop needs the
+        # twice-differentiable XLA paths.
+        model_cfg = dataclasses.replace(
+            model_cfg, lstm_kernel="xla", use_pallas_gcn=False
+        )
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support
 

@@ -76,6 +76,7 @@ def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
                 *, n_layers, n_masks, compute_dtype):
     a = a_ref[:].astype(compute_dtype)
     h = x_ref[0]
+    res_dtype = h_out_ref.dtype
     for l in range(n_layers):
         w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
         hw = jnp.dot(
@@ -90,7 +91,12 @@ def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
         h = jnp.maximum(z, 0.0)
         if l < n_masks:
             h = h * m_ref[l, 0]
-        h_out_ref[l, 0] = h
+        # Residuals stream at compute precision (halves the HBM stream under
+        # bf16 training): every backward use re-casts to compute_dtype for
+        # the MXU anyway, and the relu'-sign recovery (h > 0) is unaffected
+        # by bf16 rounding. The last layer's residual IS the primal output —
+        # its consumer (the LSTM) casts to compute_dtype before its matmuls.
+        h_out_ref[l, 0] = h.astype(res_dtype)
 
 
 def _fwd_kernel_nomask(x_ref, a_ref, w0_ref, wr_ref, b_ref, h_out_ref,
@@ -111,8 +117,10 @@ def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
         h_post = h_all_ref[l, 0]
         # relu'(z) recovered from the post-dropout residual: where the mask
         # is live, h_post > 0 iff z > 0; where the mask is 0 the mask
-        # factor below zeroes the contribution anyway.
-        dz = dh * (h_post > 0.0).astype(jnp.float32)
+        # factor below zeroes the contribution anyway. The compare runs in
+        # f32 — Mosaic has no bf16 cmpf, and bf16 rounding never flips the
+        # sign (positives round to positives, zero is exact).
+        dz = dh * (h_post.astype(jnp.float32) > 0.0).astype(jnp.float32)
         if l < n_masks:
             dz = dz * m_ref[l, 0]
         # dhw = A^T @ dz via a transposed contraction (no materialized A^T).
@@ -132,7 +140,7 @@ def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
             preferred_element_type=jnp.float32,
         )
         if l == 0:
-            dx_ref[0] = d_in
+            dx_ref[0] = d_in.astype(dx_ref.dtype)
         else:
             dh = d_in
 
@@ -221,7 +229,9 @@ def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret):
             (n_layers, 1, n, hid), lambda s: (0, s, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_layers, t, n, hid), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_layers, t, n, hid), jnp.dtype(compute_dtype)
+        ),
         compiler_params=_compiler_params(interpret, 48),
         interpret=interpret,
     )(*args)
@@ -282,7 +292,7 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret):
             pl.BlockSpec((n_layers, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((t, n, c_in), x.dtype),
             jax.ShapeDtypeStruct((c_in, hid), jnp.float32),
             jax.ShapeDtypeStruct((max(n_layers - 1, 1), hid, hid), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, hid), jnp.float32),

@@ -11,16 +11,23 @@ entirely:
 
   * ONE forward kernel: grid=(T,), per step it advances ALL layers —
     layer l's input is layer l-1's just-computed hidden state, still in
-    registers/VMEM. Only x[t] streams in; h/c residuals stream out. All
-    weights (wx0, stacked wxr/wh, biases) are VMEM-resident for the whole
-    scan. Inter-layer dropout applies streamed precomputed masks (scaled
-    {0, 1/keep}), drawn bit-identically to the XLA path's.
+    registers/VMEM. Only x[t] streams in; h/c residuals stream out AT
+    COMPUTE PRECISION (bf16 under bf16 training — halves the residual
+    HBM stream; the f32 VMEM carry keeps forward numerics bit-exact).
+    The primal output is just the [B, H] last-timestep top-layer state
+    the hybrid head consumes. All weights (wx0, stacked wxr/wh, biases)
+    are VMEM-resident for the whole scan. Inter-layer dropout applies
+    streamed precomputed masks (scaled {0, 1/keep}), drawn
+    bit-identically to the XLA path's.
   * ONE backward kernel: reversed grid, carries (dh, dc) per layer,
     recomputes gate activations from residuals (cheaper than storing
     [L, T, B, 4H] gates), walks layers top-down so the same-timestep
     inter-layer gradient flows within the step, and ACCUMULATES
     dwx/dwh/db into revisited output blocks — weight gradients never
-    round-trip through HBM as per-step partials. Only dx streams out.
+    round-trip through HBM as per-step partials. Previous-timestep
+    residuals are second streamed views of the same arrays (index-mapped
+    to max(t-1, 0), zero-selected at t == 0) — no XLA-side shifted
+    copies. Only dx streams out, in x's dtype.
 
 vmap (the meta step's task axis) prepends a grid dimension; the carry
 scratch resets at t == 0, which is the first step of every batch instance
@@ -83,9 +90,10 @@ def _sigmoid(x):
 
 
 def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
-                h_out_ref, c_out_ref, h_scr, c_scr,
+                h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
                 *, n_layers, hidden, has_masks, compute_dtype):
     t = pl.program_id(0)
+    res_dtype = h_out_ref.dtype
 
     @pl.when(t == 0)
     def _():
@@ -112,8 +120,18 @@ def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
         h = o * jnp.tanh(c)
         h_scr[l] = h
         c_scr[l] = c
-        h_out_ref[l, 0] = h
-        c_out_ref[l, 0] = c
+        # Residuals for the backward only stream at compute precision — the
+        # backward either re-casts them to compute_dtype for MXU anyway (h)
+        # or tolerates the rounding at the bf16 matmul-noise floor (c). The
+        # f32 carry in scratch keeps the FORWARD numerics bit-exact vs XLA.
+        h_out_ref[l, 0] = h.astype(res_dtype)
+        c_out_ref[l, 0] = c.astype(res_dtype)
+        if l == n_layers - 1:
+            # Primal output: the top layer's hidden state. Constant-mapped
+            # block, revisited each step — only the final (t = T-1) value is
+            # flushed, which is exactly the last-timestep readout the hybrid
+            # head consumes (and the only cotangent the backward receives).
+            h_last_ref[:] = h
         if l < n_layers - 1:
             nxt = h
             if has_masks:
@@ -130,7 +148,7 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
                 wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
                 dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref,
                 dh_scr, dc_scr,
-                *, n_layers, hidden, has_masks, compute_dtype):
+                *, n_layers, hidden, has_masks, compute_dtype, t_len):
     s = pl.program_id(0)  # time index is T-1-s via the index maps
 
     @pl.when(s == 0)
@@ -138,15 +156,38 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
+    # h_prev_ref/c_prev_ref are second streamed VIEWS of the same h/c
+    # residual arrays, index-mapped to max(t-1, 0) — no XLA-side shifted
+    # copies (the old jnp.concatenate cost a full [L, T, B, H] write+read
+    # per direction per iteration). At t == 0 (s == T-1) the view aliases
+    # t == 0; the true previous state is zero, selected here.
+    at_t0 = s == t_len - 1
+    # Cotangent of the [B, H] primal arrives only at the last timestep.
+    g_in = jnp.where(s == 0, g_ref[:], jnp.zeros_like(g_ref[:]))
+
     d_from_above = None  # [B, H] gradient into layer l's output at this t
     for l in range(n_layers - 1, -1, -1):
+        # Selects run in f32 (Mosaic lowers f32 select/cmp universally;
+        # bf16 element-wise compares are not supported on all targets).
+        h_prev = jnp.where(
+            at_t0,
+            jnp.zeros((), jnp.float32),
+            h_prev_ref[l, 0].astype(jnp.float32),
+        )
+        c_prev = jnp.where(
+            at_t0,
+            jnp.zeros((), jnp.float32),
+            c_prev_ref[l, 0].astype(jnp.float32),
+        )
         if l == 0:
             inp = x_ref[0].astype(compute_dtype)
             wx = wx0_ref[:].astype(compute_dtype)
         else:
             inp = h_all_ref[l - 1, 0]
             if has_masks:
-                inp = inp * m_ref[l - 1, 0]
+                # Mask multiply in f32 like the forward's, so the recomputed
+                # gate inputs round once, not twice, under bf16 residuals.
+                inp = inp.astype(jnp.float32) * m_ref[l - 1, 0]
             inp = inp.astype(compute_dtype)
             wx = wxr_ref[l - 1].astype(compute_dtype)
         wh = wh_ref[l].astype(compute_dtype)
@@ -155,7 +196,7 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         gates = (
             jnp.dot(inp, wx, preferred_element_type=jnp.float32)
             + jnp.dot(
-                h_prev_ref[l, 0].astype(compute_dtype), wh,
+                h_prev.astype(compute_dtype), wh,
                 preferred_element_type=jnp.float32,
             )
             + b_ref[pl.ds(l, 1), :]
@@ -164,17 +205,17 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         f = _sigmoid(gates[:, hidden:2 * hidden])
         g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
         o = _sigmoid(gates[:, 3 * hidden:])
-        tc = jnp.tanh(c_all_ref[l, 0])
+        tc = jnp.tanh(c_all_ref[l, 0].astype(jnp.float32))
 
         dh = dh_scr[l]
         if l == n_layers - 1:
-            dh = dh + g_ref[0]
+            dh = dh + g_in
         if d_from_above is not None:
             dh = dh + d_from_above
         dc = dc_scr[l] + dh * o * (1.0 - tc * tc)
         do_pre = dh * tc * o * (1.0 - o)
         di_pre = dc * g * i * (1.0 - i)
-        df_pre = dc * c_prev_ref[l, 0] * f * (1.0 - f)
+        df_pre = dc * c_prev * f * (1.0 - f)
         dg_pre = dc * i * (1.0 - g * g)
         dgates = jnp.concatenate(
             [di_pre, df_pre, dg_pre, do_pre], axis=-1
@@ -195,7 +236,7 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
             preferred_element_type=jnp.float32,
         )
         if l == 0:
-            dx_ref[0] = d_in
+            dx_ref[0] = d_in.astype(dx_ref.dtype)
             d_from_above = None
         else:
             if has_masks:
@@ -208,7 +249,7 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
             preferred_element_type=jnp.float32,
         )  # [C_in, 4H]
         dwh_upd = jax.lax.dot_general(
-            h_prev_ref[l, 0].astype(compute_dtype), dgates_c,
+            h_prev.astype(compute_dtype), dgates_c,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, 4H]
@@ -286,8 +327,19 @@ def _specs_fwd(t, b, c_in, hidden, n_layers, has_masks):
             (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM),
     ]
     return in_specs, out_specs
+
+
+def _res_dtype(compute_dtype):
+    """Residual storage precision: compute precision. h residuals are re-cast
+    to compute_dtype for every MXU use anyway (bit-identical); c residuals
+    feed f32 VPU math, where bf16 storage adds rounding at the same order as
+    the bf16 matmul-noise floor the backward already sits at. The forward
+    carry lives in f32 scratch, so FORWARD outputs stay bit-exact vs XLA
+    regardless. Halves the residual HBM stream under bf16 training."""
+    return jnp.dtype(compute_dtype)
 
 
 def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
@@ -307,14 +359,16 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
         )
     )
     args = [x, wx0, wxr, wh, b2d] + ([masks] if has_masks else [])
-    h_all, c_all = pl.pallas_call(
+    rd = _res_dtype(compute_dtype)
+    h_all, c_all, h_last = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -323,7 +377,7 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
         compiler_params=_compiler_params(interpret, 48),
         interpret=interpret,
     )(*args)
-    return h_all, c_all
+    return h_all, c_all, h_last
 
 
 def _compiler_params(interpret: bool, mib: int):
@@ -337,11 +391,11 @@ def _compiler_params(interpret: bool, mib: int):
 
 
 def _fwd_kernel_nomask(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
-                       h_out_ref, c_out_ref, h_scr, c_scr,
+                       h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
                        *, n_layers, hidden, compute_dtype):
     _fwd_kernel(
         x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, None,
-        h_out_ref, c_out_ref, h_scr, c_scr,
+        h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
         compute_dtype=compute_dtype,
     )
@@ -350,13 +404,14 @@ def _fwd_kernel_nomask(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
 def _bwd_kernel_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
                        c_prev_ref, wx0_ref, wxr_ref, wh_ref, b_ref,
                        dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref,
-                       dh_scr, dc_scr, *, n_layers, hidden, compute_dtype):
+                       dh_scr, dc_scr, *, n_layers, hidden, compute_dtype,
+                       t_len):
     _bwd_kernel(
         g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         wx0_ref, wxr_ref, wh_ref, b_ref, None,
         dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref, dh_scr, dc_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, t_len=t_len,
     )
 
 
@@ -365,23 +420,22 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
     t, b, c_in = x.shape
     n_layers, hidden, g4 = wh.shape[0], wh.shape[1], wh.shape[2]
     has_masks = masks is not None
-    h_prev = jnp.concatenate(
-        [jnp.zeros_like(h_all[:, :1]), h_all[:, :-1]], axis=1
-    )
-    c_prev = jnp.concatenate(
-        [jnp.zeros_like(c_all[:, :1]), c_all[:, :-1]], axis=1
-    )
     rev3 = lambda s: (t - 1 - s, 0, 0)
     rev4 = lambda s: (0, t - 1 - s, 0, 0)
+    # Previous-timestep residuals are second streamed VIEWS of h_all/c_all
+    # at max(t-1, 0) — the kernel zero-selects at t == 0 — instead of
+    # XLA-side shifted copies (which cost a full [L, T, B, H] HBM write +
+    # read per direction per iteration).
+    prev4 = lambda s: (0, jnp.maximum(t - 2 - s, 0), 0, 0)
     const2 = lambda s: (0, 0)
     const3 = lambda s: (0, 0, 0)
     in_specs = [
-        pl.BlockSpec((1, b, hidden), rev3, memory_space=pltpu.VMEM),   # g
+        pl.BlockSpec((b, hidden), const2, memory_space=pltpu.VMEM),    # g
         pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # x
         pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
         pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
         pl.BlockSpec((c_in, g4), const2, memory_space=pltpu.VMEM),     # wx0
         pl.BlockSpec(
             (max(n_layers - 1, 1), hidden, g4), const3,
@@ -410,15 +464,15 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
     kernel = (
         functools.partial(
             _bwd_kernel, n_layers=n_layers, hidden=hidden, has_masks=True,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, t_len=t,
         )
         if has_masks
         else functools.partial(
             _bwd_kernel_nomask, n_layers=n_layers, hidden=hidden,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, t_len=t,
         )
     )
-    args = [g, x, h_all, h_prev, c_all, c_prev, wx0, wxr, wh, b2d]
+    args = [g, x, h_all, h_all, c_all, c_all, wx0, wxr, wh, b2d]
     if has_masks:
         args.append(masks)
     dx, dwx0, dwxr, dwh, db = pl.pallas_call(
@@ -427,7 +481,7 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, c_in), x.dtype),
             jax.ShapeDtypeStruct((c_in, g4), jnp.float32),
             jax.ShapeDtypeStruct((max(n_layers - 1, 1), hidden, g4), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, hidden, g4), jnp.float32),
@@ -450,15 +504,17 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _stack_pallas(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
-    h_all, _ = _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret)
-    return h_all[-1]  # [T, B, H] top layer
+    _, _, h_last = _fwd_pallas(
+        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+    )
+    return h_last  # [B, H] top layer at the last timestep (f32)
 
 
 def _stack_fwd(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
-    h_all, c_all = _fwd_pallas(
+    h_all, c_all, h_last = _fwd_pallas(
         x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
     )
-    return h_all[-1], (x, wx0, wxr, wh, b2d, masks, h_all, c_all)
+    return h_last, (x, wx0, wxr, wh, b2d, masks, h_all, c_all)
 
 
 def _stack_bwd(compute_dtype, interpret, res, g):
@@ -545,8 +601,7 @@ def lstm_stack_last_all(
             for l in range(n_layers - 1)
         ])  # [L-1, T, B, H], values in {0, 1/keep}
 
-    h_top = _stack_pallas(
+    return _stack_pallas(
         x_tbc, wx0, wxr, wh, b2d, compute_dtype,
         interpret or _FORCE_INTERPRET, masks,
-    )
-    return h_top[-1]  # [B, H] last timestep
+    )  # [B, H] last timestep

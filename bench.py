@@ -211,14 +211,44 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
     from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
 
     bench_key = make_key(1, meta_cfg.rng_impl)
+
+    # In-graph step chaining (CLAUDE.md timing rule): each timed dispatch
+    # runs `chain_k` meta steps back-to-back inside ONE jitted program, so
+    # the ~25-30 ms tunnel dispatch + host-fetch floor is amortized 1/K.
+    # This matches production (engines/meta_train.py dispatches epochs
+    # without per-step host syncs and batches metric fetches). K = 1 for
+    # quick mode (explicitly a dispatch-bound smoke test) and second-order
+    # (a 2.4 s step makes the floor ~1% and chained bursts too coarse for
+    # contention sampling).
+    chain_k = 4 if (on_tpu and not quick and not second_order) else 1
+    if chain_k > 1:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def chain(state, tasks, key):
+            def body(s, k):
+                s, m = step(s, tasks, k)
+                return s, m["meta_loss"]
+
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(chain_k)
+            )
+            state, losses = jax.lax.scan(body, state, keys)
+            return state, {"meta_loss": losses[-1]}
+    else:
+        chain = step
+
     t0 = time.perf_counter()
-    state, metrics = step(state, tasks, bench_key)
+    state, metrics = chain(state, tasks, bench_key)
     block_until_ready(metrics["meta_loss"])
     compile_s = time.perf_counter() - t0
-    _log(f"[bench] first step (compile + run): {compile_s:.2f}s")
+    _log(
+        f"[bench] first dispatch (compile + run, chain of {chain_k}): "
+        f"{compile_s:.2f}s"
+    )
     # One extra warmup: the remote-TPU tunnel's first post-compile dispatch
     # is routinely slow.
-    state, metrics = step(state, tasks, bench_key)
+    state, metrics = chain(state, tasks, bench_key)
     block_until_ready(metrics["meta_loss"])
 
     # The shared TPU pool behind the tunnel shows ~60x contention swings
@@ -246,13 +276,15 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
         burst_start = len(times)
         for r in range(reps):
             t0 = time.perf_counter()
-            state, metrics = step(
+            state, metrics = chain(
                 state, tasks, jax.random.fold_in(bench_key, 2 + burst * reps + r)
             )
             # Force a device->host value fetch: under pool contention the
             # tunnel's block_until_ready has been observed returning early.
             float(np.asarray(metrics["meta_loss"]))
-            times.append(time.perf_counter() - t0)
+            # Per-step time: the chain amortizes dispatch 1/K; dividing by K
+            # is exact for the in-graph steps themselves.
+            times.append((time.perf_counter() - t0) / chain_k)
             if budget_s > 0 and time.perf_counter() - t_start > budget_s and r >= 1:
                 break  # bound budget overshoot to about one step
             # A uniformly slow burst will not produce the best step —
@@ -316,7 +348,8 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
         "floor_seconds_bf16_peak": floor_s,
         "mfu_vs_bf16_peak": mfu,
         "contended": contended,
-        "num_timed_steps": len(times),
+        "num_timed_steps": len(times) * chain_k,
+        "chain_length": chain_k,
     }
 
 
@@ -772,7 +805,11 @@ def main(argv=None) -> int:
     if args.all_configs:
         details["workload_configs"] = bench_workload_configs(args.dtype)
 
-    out_path = os.path.join(os.path.dirname(__file__), "benchmarks", "last_run.json")
+    # Quick smoke runs land in their own artifact: last_run.json is the
+    # full-scale record the docs cite, and a tiny-shape smoke test must
+    # never clobber it (this happened once in round 3).
+    artifact = "last_quick_run.json" if args.quick else "last_run.json"
+    out_path = os.path.join(os.path.dirname(__file__), "benchmarks", artifact)
     with open(out_path, "w") as f:
         json.dump(details, f, indent=2)
 

@@ -108,6 +108,35 @@ def test_train_grad_parity():
         )
 
 
+def test_split_variant_train_grad_parity():
+    """The non-default kernel variant (merged vs split dots) must stay
+    correct: run the same train-mode grad check with `merged` flipped."""
+    params, x = _setup(8)
+    rng = jax.random.key(13)
+    other = not fused_lstm_stack._MERGED_GATES
+
+    def loss(kernel):
+        def f(params):
+            kw = dict(dropout_rate=0.3, train=True, rng=rng)
+            if kernel == "xla":
+                out = apply_lstm(params, x, kernel="xla", **kw)
+            else:
+                with fused_lstm_stack.force_interpret():
+                    out = fused_lstm_stack.lstm_stack_last_all(
+                        params, x, merged=other, **kw
+                    )
+            return jnp.sum(out ** 2)
+
+        return f
+
+    g_ref = jax.grad(loss("xla"))(params)
+    g_got = jax.grad(loss("other"))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_vmap_parity():
     params, _ = _setup(6)
     xs = jnp.stack(

@@ -21,8 +21,9 @@ ReLU, and dropout-mask multiply — inside one Pallas program per direction:
 
 Dropout masks are drawn in XLA bit-identically to the layerwise path
 (same fold_in(rng, l) streams, full [W, N, hidden] draw) and streamed as
-{0, 1/keep} scale factors — so train-mode numerics match the XLA encoder,
-which CI asserts through the Pallas interpreter.
+int8 {0, 1} with the 1/keep scale folded into the kernels — quarter the
+mask HBM bytes, bit-identical products — so train-mode numerics match the
+XLA encoder, which CI asserts through the Pallas interpreter.
 
 Custom VJP => first-order only; second-order MAML and non-TPU backends use
 the XLA path (train/maml.py routes automatically).
@@ -34,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -73,10 +75,11 @@ def _compiler_params(interpret: bool, mib: int):
 
 
 def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
-                *, n_layers, n_masks, compute_dtype):
+                *, n_layers, n_masks, compute_dtype, keep=1.0):
     a = a_ref[:].astype(compute_dtype)
     h = x_ref[0]
     res_dtype = h_out_ref.dtype
+    inv_keep = 1.0 / keep if n_masks else 1.0
     for l in range(n_layers):
         w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
         hw = jnp.dot(
@@ -90,7 +93,11 @@ def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
         )
         h = jnp.maximum(z, 0.0)
         if l < n_masks:
-            h = h * m_ref[l, 0]
+            # Masks stream as int8 {0, 1} (quarter the HBM bytes of the old
+            # f32 {0, 1/keep} stream); the 1/keep scale folds in here, and
+            # (m * f32(1/keep)) is exact for m in {0, 1}, so the products
+            # are bit-identical to the old pre-scaled-mask stream.
+            h = h * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
         # Residuals stream at compute precision (halves the HBM stream under
         # bf16 training): every backward use re-casts to compute_dtype for
         # the MXU anyway, and the relu'-sign recovery (h > 0) is unaffected
@@ -109,9 +116,10 @@ def _fwd_kernel_nomask(x_ref, a_ref, w0_ref, wr_ref, b_ref, h_out_ref,
 
 def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
                 dx_ref, dw0_ref, dwr_ref, db_ref,
-                *, n_layers, n_masks, compute_dtype):
+                *, n_layers, n_masks, compute_dtype, keep=1.0):
     t = pl.program_id(0)
     a = a_ref[:].astype(compute_dtype)
+    inv_keep = 1.0 / keep if n_masks else 1.0
     dh = g_ref[0]  # [B, hidden] cotangent of the final layer's output
     for l in range(n_layers - 1, -1, -1):
         h_post = h_all_ref[l, 0]
@@ -122,7 +130,7 @@ def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
         # sign (positives round to positives, zero is exact).
         dz = dh * (h_post.astype(jnp.float32) > 0.0).astype(jnp.float32)
         if l < n_masks:
-            dz = dz * m_ref[l, 0]
+            dz = dz * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
         # dhw = A^T @ dz via a transposed contraction (no materialized A^T).
         dhw = jax.lax.dot_general(
             a, dz.astype(compute_dtype), (((0,), (0,)), ((), ())),
@@ -190,7 +198,8 @@ def _bwd_kernel_nomask(g_ref, x_ref, a_ref, w0_ref, wr_ref, h_all_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret):
+def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret,
+                keep=1.0):
     t, n, c_in = x.shape
     n_layers, hid = b2d.shape
     n_masks = 0 if masks is None else masks.shape[0]
@@ -215,7 +224,7 @@ def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret):
         args.append(masks)
         kernel = functools.partial(
             _fwd_kernel, n_layers=n_layers, n_masks=n_masks,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, keep=keep,
         )
     else:
         kernel = functools.partial(
@@ -238,7 +247,8 @@ def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret):
     return h_all
 
 
-def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret):
+def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret,
+                keep=1.0):
     t, n, c_in = x.shape
     n_layers, _, hid = h_all.shape[0], h_all.shape[1], h_all.shape[3]
     n_masks = 0 if masks is None else masks.shape[0]
@@ -271,7 +281,7 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret):
     kernel = (
         functools.partial(
             _bwd_kernel, n_layers=n_layers, n_masks=n_masks,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, keep=keep,
         )
         if masks is not None
         else functools.partial(
@@ -308,23 +318,34 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _gcn_train_pallas(x, a_hat, w0, wr, b2d, compute_dtype, interpret, masks):
-    h_all = _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gcn_train_pallas(x, a_hat, w0, wr, b2d, compute_dtype, interpret, keep,
+                      masks):
+    h_all = _fwd_pallas(
+        x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret, keep
+    )
     return h_all[-1]
 
 
-def _gcn_fwd(x, a_hat, w0, wr, b2d, compute_dtype, interpret, masks):
-    h_all = _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret)
+def _gcn_fwd(x, a_hat, w0, wr, b2d, compute_dtype, interpret, keep, masks):
+    h_all = _fwd_pallas(
+        x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret, keep
+    )
     return h_all[-1], (x, a_hat, w0, wr, masks, h_all)
 
 
-def _gcn_bwd(compute_dtype, interpret, res, g):
+def _gcn_bwd(compute_dtype, interpret, keep, res, g):
     x, a_hat, w0, wr, masks, h_all = res
     dx, dw0, dwr, db = _bwd_pallas(
-        g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret
+        g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret, keep
     )
-    dmasks = None if masks is None else jnp.zeros_like(masks)
+    # Masks are non-differentiable sampling artifacts; their integer primal
+    # takes a float0 cotangent (matches XLA-path dropout, where the mask is
+    # a constant of the trace).
+    dmasks = (
+        None if masks is None
+        else np.zeros(masks.shape, dtype=jax.dtypes.float0)
+    )
     # a_hat is a constant of the graph (precomputed adjacency) — a zero
     # cotangent keeps the signature without computing an [N, N] gradient
     # nothing consumes (the graph is never trained).
@@ -386,16 +407,21 @@ def gcn_stack_train(
 
     n_masks = n_layers if final_dropout else n_layers - 1
     masks = None
+    keep = 1.0
     if dropout_rate > 0.0 and rng is not None and n_masks > 0:
         keep = 1.0 - dropout_rate
+        # int8 {0, 1} — a quarter of the f32 bytes in HBM (the mask stream
+        # is written once by the bernoulli and read by BOTH kernel passes);
+        # the 1/keep scale folds into the kernel, where (m * f32(1/keep)) is
+        # exact for m in {0, 1} so numerics are unchanged vs pre-scaled f32.
         masks = jnp.stack([
             jax.random.bernoulli(
                 jax.random.fold_in(rng, l), keep, (t, n, hid)
-            ).astype(jnp.float32) / keep
+            )
             for l in range(n_masks)
-        ])  # [n_masks, W, N, hid]
+        ]).astype(jnp.int8)  # [n_masks, W, N, hid]
 
     return _gcn_train_pallas(
         x, a_hat, w0, wr, b2d, compute_dtype,
-        interpret or _FORCE_INTERPRET, masks,
+        interpret or _FORCE_INTERPRET, keep, masks,
     )

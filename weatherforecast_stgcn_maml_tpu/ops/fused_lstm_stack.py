@@ -17,8 +17,9 @@ entirely:
     The primal output is just the [B, H] last-timestep top-layer state
     the hybrid head consumes. All weights (wx0, stacked wxr/wh, biases)
     are VMEM-resident for the whole scan. Inter-layer dropout applies
-    streamed precomputed masks (scaled {0, 1/keep}), drawn
-    bit-identically to the XLA path's.
+    streamed precomputed int8 {0, 1} masks (the 1/keep scale folds
+    into the kernel; quarter the mask HBM bytes), drawn bit-identically
+    to the XLA path's.
   * ONE backward kernel: reversed grid, carries (dh, dc) per layer,
     recomputes gate activations from residuals (cheaper than storing
     [L, T, B, 4H] gates), walks layers top-down so the same-timestep
@@ -46,6 +47,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -67,6 +69,13 @@ _VMEM_BUDGET_BYTES = 34 * 1024 * 1024
 
 # Test hook mirroring ops/lstm_scan.py's: run kernels interpreted (CPU CI).
 _FORCE_INTERPRET = False
+
+# Merged-gates variant: each step's x@wx + h@wh pair fuses into ONE
+# [B, C+H] @ [C+H, 4H] contraction (and the backward's 6 dots per (t, l)
+# into 3) — same FLOPs, half the MXU ops on the latency-bound recurrent
+# chain. A/B'd interleaved at reference shapes (benchmarks/
+# lstm_merged_probe.py); flip here if the probe ever reverses.
+_MERGED_GATES = True
 
 
 class force_interpret:
@@ -91,7 +100,7 @@ def _sigmoid(x):
 
 def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
                 h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
-                *, n_layers, hidden, has_masks, compute_dtype):
+                *, n_layers, hidden, has_masks, compute_dtype, keep=1.0):
     t = pl.program_id(0)
     res_dtype = h_out_ref.dtype
 
@@ -101,6 +110,7 @@ def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
         c_scr[:] = jnp.zeros_like(c_scr)
 
     inp = x_ref[0].astype(compute_dtype)  # [B, C]
+    inv_keep = 1.0 / keep if has_masks else 1.0
     for l in range(n_layers):
         wx = (wx0_ref[:] if l == 0 else wxr_ref[l - 1]).astype(compute_dtype)
         wh = wh_ref[l].astype(compute_dtype)
@@ -135,7 +145,11 @@ def _fwd_kernel(x_ref, wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
         if l < n_layers - 1:
             nxt = h
             if has_masks:
-                nxt = nxt * m_ref[l, 0]
+                # Masks stream as int8 {0, 1} (quarter the HBM bytes of the
+                # old f32 {0, 1/keep} stream); the scale folds in here.
+                # (m * f32(1/keep)) is exact for m in {0, 1}, so the products
+                # are bit-identical to the old pre-scaled-mask stream.
+                nxt = nxt * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
             inp = nxt.astype(compute_dtype)
 
 
@@ -148,8 +162,10 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
                 wx0_ref, wxr_ref, wh_ref, b_ref, m_ref,
                 dx_ref, dwx0_ref, dwxr_ref, dwh_ref, db_ref,
                 dh_scr, dc_scr,
-                *, n_layers, hidden, has_masks, compute_dtype, t_len):
+                *, n_layers, hidden, has_masks, compute_dtype, t_len,
+                keep=1.0):
     s = pl.program_id(0)  # time index is T-1-s via the index maps
+    inv_keep = 1.0 / keep if has_masks else 1.0
 
     @pl.when(s == 0)
     def _():
@@ -187,7 +203,9 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
             if has_masks:
                 # Mask multiply in f32 like the forward's, so the recomputed
                 # gate inputs round once, not twice, under bf16 residuals.
-                inp = inp.astype(jnp.float32) * m_ref[l - 1, 0]
+                inp = inp.astype(jnp.float32) * (
+                    m_ref[l - 1, 0].astype(jnp.float32) * inv_keep
+                )
             inp = inp.astype(compute_dtype)
             wx = wxr_ref[l - 1].astype(compute_dtype)
         wh = wh_ref[l].astype(compute_dtype)
@@ -240,7 +258,7 @@ def _bwd_kernel(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
             d_from_above = None
         else:
             if has_masks:
-                d_in = d_in * m_ref[l - 1, 0]
+                d_in = d_in * (m_ref[l - 1, 0].astype(jnp.float32) * inv_keep)
             d_from_above = d_in
 
         # Weight/bias gradients, accumulated across the revisited blocks.
@@ -342,7 +360,8 @@ def _res_dtype(compute_dtype):
     return jnp.dtype(compute_dtype)
 
 
-def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
+def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret,
+                keep=1.0):
     t, b, c_in = x.shape
     n_layers, hidden, g4 = wh.shape[0], wh.shape[1], wh.shape[2]
     has_masks = masks is not None
@@ -350,7 +369,7 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret):
     kernel = (
         functools.partial(
             _fwd_kernel, n_layers=n_layers, hidden=hidden, has_masks=True,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, keep=keep,
         )
         if has_masks
         else functools.partial(
@@ -416,7 +435,7 @@ def _bwd_kernel_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
 
 
 def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
-                compute_dtype, interpret):
+                compute_dtype, interpret, keep=1.0):
     t, b, c_in = x.shape
     n_layers, hidden, g4 = wh.shape[0], wh.shape[1], wh.shape[2]
     has_masks = masks is not None
@@ -464,7 +483,7 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
     kernel = (
         functools.partial(
             _bwd_kernel, n_layers=n_layers, hidden=hidden, has_masks=True,
-            compute_dtype=compute_dtype, t_len=t,
+            compute_dtype=compute_dtype, t_len=t, keep=keep,
         )
         if has_masks
         else functools.partial(
@@ -498,29 +517,420 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
 
 
 # ---------------------------------------------------------------------------
-# Custom VJP
+# Merged-gates kernels: ONE [B, C+H] @ [C+H, 4H] contraction per (t, l)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _stack_pallas(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
-    _, _, h_last = _fwd_pallas(
-        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
+                  h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+                  *, n_layers, hidden, has_masks, compute_dtype, keep=1.0):
+    t = pl.program_id(0)
+    res_dtype = h_out_ref.dtype
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    inp = x_ref[0].astype(compute_dtype)  # [B, C]
+    inv_keep = 1.0 / keep if has_masks else 1.0
+    for l in range(n_layers):
+        w = (wcat0_ref[:] if l == 0 else wcatr_ref[l - 1]).astype(compute_dtype)
+        # [inp | h_prev] @ [[wx], [wh]] — one MXU contraction instead of
+        # two summed half-width ones (identical f32-accumulated math).
+        xh = jnp.concatenate(
+            [inp, h_scr[l].astype(compute_dtype)], axis=1
+        )
+        gates = (
+            jnp.dot(xh, w, preferred_element_type=jnp.float32)
+            + b_ref[pl.ds(l, 1), :]
+        )
+        i = _sigmoid(gates[:, :hidden])
+        f = _sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:])
+        c = f * c_scr[l] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[l] = h
+        c_scr[l] = c
+        h_out_ref[l, 0] = h.astype(res_dtype)
+        c_out_ref[l, 0] = c.astype(res_dtype)
+        if l == n_layers - 1:
+            h_last_ref[:] = h
+        if l < n_layers - 1:
+            nxt = h
+            if has_masks:
+                nxt = nxt * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
+            inp = nxt.astype(compute_dtype)
+
+
+def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
+                  wcat0_ref, wcatr_ref, b_ref, m_ref,
+                  dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
+                  dh_scr, dc_scr,
+                  *, n_layers, hidden, c_in, has_masks, compute_dtype, t_len,
+                  keep=1.0):
+    s = pl.program_id(0)  # time index is T-1-s via the index maps
+    inv_keep = 1.0 / keep if has_masks else 1.0
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    at_t0 = s == t_len - 1
+    g_in = jnp.where(s == 0, g_ref[:], jnp.zeros_like(g_ref[:]))
+
+    d_from_above = None
+    for l in range(n_layers - 1, -1, -1):
+        h_prev = jnp.where(
+            at_t0,
+            jnp.zeros((), jnp.float32),
+            h_prev_ref[l, 0].astype(jnp.float32),
+        )
+        c_prev = jnp.where(
+            at_t0,
+            jnp.zeros((), jnp.float32),
+            c_prev_ref[l, 0].astype(jnp.float32),
+        )
+        if l == 0:
+            inp = x_ref[0].astype(compute_dtype)
+            w = wcat0_ref[:].astype(compute_dtype)
+            cw = c_in
+        else:
+            inp = h_all_ref[l - 1, 0]
+            if has_masks:
+                inp = inp.astype(jnp.float32) * (
+                    m_ref[l - 1, 0].astype(jnp.float32) * inv_keep
+                )
+            inp = inp.astype(compute_dtype)
+            w = wcatr_ref[l - 1].astype(compute_dtype)
+            cw = hidden
+
+        # Recompute this (l, t)'s gates from residuals — one merged dot.
+        xh = jnp.concatenate(
+            [inp, h_prev.astype(compute_dtype)], axis=1
+        )  # [B, cw + H]
+        gates = (
+            jnp.dot(xh, w, preferred_element_type=jnp.float32)
+            + b_ref[pl.ds(l, 1), :]
+        )
+        i = _sigmoid(gates[:, :hidden])
+        f = _sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:])
+        tc = jnp.tanh(c_all_ref[l, 0].astype(jnp.float32))
+
+        dh = dh_scr[l]
+        if l == n_layers - 1:
+            dh = dh + g_in
+        if d_from_above is not None:
+            dh = dh + d_from_above
+        dc = dc_scr[l] + dh * o * (1.0 - tc * tc)
+        do_pre = dh * tc * o * (1.0 - o)
+        di_pre = dc * g * i * (1.0 - i)
+        df_pre = dc * c_prev * f * (1.0 - f)
+        dg_pre = dc * i * (1.0 - g * g)
+        dgates = jnp.concatenate(
+            [di_pre, df_pre, dg_pre, do_pre], axis=-1
+        )  # [B, 4H] float32
+
+        dgates_c = dgates.astype(compute_dtype)
+        # dgates @ W^T in one contraction, then split: first cw lanes are
+        # the input gradient, last H lanes the recurrent carry to t-1.
+        dxh = jax.lax.dot_general(
+            dgates_c, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, cw + H]
+        d_in = dxh[:, :cw]
+        dh_scr[l] = dxh[:, cw:]
+        dc_scr[l] = dc * f
+
+        if l == 0:
+            dx_ref[0] = d_in.astype(dx_ref.dtype)
+            d_from_above = None
+        else:
+            if has_masks:
+                d_in = d_in * (m_ref[l - 1, 0].astype(jnp.float32) * inv_keep)
+            d_from_above = d_in
+
+        # Merged weight gradient: [inp | h_prev]^T @ dgates — one
+        # contraction whose rows split back into (dwx, dwh) outside.
+        dwcat_upd = jax.lax.dot_general(
+            xh, dgates_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [cw + H, 4H]
+        db_upd = jnp.sum(dgates, axis=0, keepdims=True)  # [1, 4H]
+
+        if l == 0:
+            @pl.when(s == 0)
+            def _(dwcat_upd=dwcat_upd):
+                dwcat0_ref[:] = dwcat_upd
+
+            @pl.when(s > 0)
+            def _(dwcat_upd=dwcat_upd):
+                dwcat0_ref[:] = dwcat0_ref[:] + dwcat_upd
+        else:
+            @pl.when(s == 0)
+            def _(l=l, dwcat_upd=dwcat_upd):
+                dwcatr_ref[l - 1] = dwcat_upd
+
+            @pl.when(s > 0)
+            def _(l=l, dwcat_upd=dwcat_upd):
+                dwcatr_ref[l - 1] = dwcatr_ref[l - 1] + dwcat_upd
+
+        @pl.when(s == 0)
+        def _(l=l, db_upd=db_upd):
+            db_ref[pl.ds(l, 1), :] = db_upd
+
+        @pl.when(s > 0)
+        def _(l=l, db_upd=db_upd):
+            db_ref[pl.ds(l, 1), :] = db_ref[pl.ds(l, 1), :] + db_upd
+
+    if n_layers == 1:
+        @pl.when(s == 0)
+        def _():
+            dwcatr_ref[:] = jnp.zeros_like(dwcatr_ref)
+
+
+def _fwd_kernel_m_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
+                         h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+                         *, n_layers, hidden, compute_dtype):
+    _fwd_kernel_m(
+        x_ref, wcat0_ref, wcatr_ref, b_ref, None,
+        h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+        n_layers=n_layers, hidden=hidden, has_masks=False,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _bwd_kernel_m_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
+                         c_prev_ref, wcat0_ref, wcatr_ref, b_ref,
+                         dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
+                         dh_scr, dc_scr,
+                         *, n_layers, hidden, c_in, compute_dtype, t_len):
+    _bwd_kernel_m(
+        g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
+        wcat0_ref, wcatr_ref, b_ref, None,
+        dx_ref, dwcat0_ref, dwcatr_ref, db_ref, dh_scr, dc_scr,
+        n_layers=n_layers, hidden=hidden, c_in=c_in, has_masks=False,
+        compute_dtype=compute_dtype, t_len=t_len,
+    )
+
+
+def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
+                  keep=1.0):
+    t, b, c_in = x.shape
+    n_layers, g4 = b2d.shape
+    hidden = g4 // 4
+    has_masks = masks is not None
+    in_specs = [
+        pl.BlockSpec((1, b, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (c_in + hidden, g4), lambda s: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), 2 * hidden, g4), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, g4), lambda s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_layers - 1, 1, b, hidden), lambda s: (0, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    kernel = (
+        functools.partial(
+            _fwd_kernel_m, n_layers=n_layers, hidden=hidden, has_masks=True,
+            compute_dtype=compute_dtype, keep=keep,
+        )
+        if has_masks
+        else functools.partial(
+            _fwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
+            compute_dtype=compute_dtype,
+        )
+    )
+    args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
+    rd = _res_dtype(compute_dtype)
+    h_all, c_all, h_last = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret, 48),
+        interpret=interpret,
+    )(*args)
+    return h_all, c_all, h_last
+
+
+def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
+                  compute_dtype, interpret, keep=1.0):
+    t, b, c_in = x.shape
+    n_layers, g4 = b2d.shape
+    hidden = g4 // 4
+    has_masks = masks is not None
+    rev3 = lambda s: (t - 1 - s, 0, 0)
+    rev4 = lambda s: (0, t - 1 - s, 0, 0)
+    prev4 = lambda s: (0, jnp.maximum(t - 2 - s, 0), 0, 0)
+    const2 = lambda s: (0, 0)
+    const3 = lambda s: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((b, hidden), const2, memory_space=pltpu.VMEM),    # g
+        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # x
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (c_in + hidden, g4), const2, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), 2 * hidden, g4), const3,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, g4), const2, memory_space=pltpu.VMEM),  # b
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_layers - 1, 1, b, hidden), lambda s: (0, t - 1 - s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # dx
+        pl.BlockSpec(
+            (c_in + hidden, g4), const2, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (max(n_layers - 1, 1), 2 * hidden, g4), const3,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((n_layers, g4), const2, memory_space=pltpu.VMEM),  # db
+    ]
+    kernel = (
+        functools.partial(
+            _bwd_kernel_m, n_layers=n_layers, hidden=hidden, c_in=c_in,
+            has_masks=True, compute_dtype=compute_dtype, t_len=t, keep=keep,
+        )
+        if has_masks
+        else functools.partial(
+            _bwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
+            c_in=c_in, compute_dtype=compute_dtype, t_len=t,
+        )
+    )
+    args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]
+    if has_masks:
+        args.append(masks)
+    dx, dwcat0, dwcatr, db = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, c_in), x.dtype),
+            jax.ShapeDtypeStruct((c_in + hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (max(n_layers - 1, 1), 2 * hidden, g4), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret, 64),
+        interpret=interpret,
+    )(*args)
+    return dx, dwcat0, dwcatr, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _stack_pallas_m(x, wcat0, wcatr, b2d, compute_dtype, interpret, keep,
+                    masks):
+    _, _, h_last = _fwd_pallas_m(
+        x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep
     )
     return h_last  # [B, H] top layer at the last timestep (f32)
 
 
-def _stack_fwd(x, wx0, wxr, wh, b2d, compute_dtype, interpret, masks):
+def _stack_fwd_m(x, wcat0, wcatr, b2d, compute_dtype, interpret, keep, masks):
+    h_all, c_all, h_last = _fwd_pallas_m(
+        x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep
+    )
+    return h_last, (x, wcat0, wcatr, b2d, masks, h_all, c_all)
+
+
+def _stack_bwd_m(compute_dtype, interpret, keep, res, g):
+    x, wcat0, wcatr, b2d, masks, h_all, c_all = res
+    dx, dwcat0, dwcatr, db = _bwd_pallas_m(
+        g, x, h_all, c_all, wcat0, wcatr, b2d, masks, compute_dtype,
+        interpret, keep,
+    )
+    dx = dx.astype(x.dtype)
+    dwcat0 = dwcat0.astype(wcat0.dtype)
+    dwcatr = dwcatr.astype(wcatr.dtype)
+    db = db.astype(b2d.dtype)
+    # The concat/stack that BUILT wcat0/wcatr is differentiable XLA — JAX
+    # transposes it to split these back into per-layer (dwx, dwh) outside.
+    dmasks = (
+        None if masks is None
+        else np.zeros(masks.shape, dtype=jax.dtypes.float0)
+    )
+    return dx, dwcat0, dwcatr, db, dmasks
+
+
+_stack_pallas_m.defvjp(_stack_fwd_m, _stack_bwd_m)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _stack_pallas(x, wx0, wxr, wh, b2d, compute_dtype, interpret, keep, masks):
+    _, _, h_last = _fwd_pallas(
+        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret, keep
+    )
+    return h_last  # [B, H] top layer at the last timestep (f32)
+
+
+def _stack_fwd(x, wx0, wxr, wh, b2d, compute_dtype, interpret, keep, masks):
     h_all, c_all, h_last = _fwd_pallas(
-        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+        x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret, keep
     )
     return h_last, (x, wx0, wxr, wh, b2d, masks, h_all, c_all)
 
 
-def _stack_bwd(compute_dtype, interpret, res, g):
+def _stack_bwd(compute_dtype, interpret, keep, res, g):
     x, wx0, wxr, wh, b2d, masks, h_all, c_all = res
     dx, dwx0, dwxr, dwh, db = _bwd_pallas(
-        g, x, h_all, c_all, wx0, wxr, wh, b2d, masks, compute_dtype, interpret
+        g, x, h_all, c_all, wx0, wxr, wh, b2d, masks, compute_dtype, interpret,
+        keep,
     )
     # Cotangent dtypes must match the primals'.
     dx = dx.astype(x.dtype)
@@ -528,10 +938,13 @@ def _stack_bwd(compute_dtype, interpret, res, g):
     dwxr = dwxr.astype(wxr.dtype)
     dwh = dwh.astype(wh.dtype)
     db = db.astype(b2d.dtype)
-    # Masks are non-differentiable sampling artifacts; returning zeros keeps
-    # the signature while contributing nothing (matches XLA-path dropout,
-    # where the mask is a constant of the trace).
-    dmasks = None if masks is None else jnp.zeros_like(masks)
+    # Masks are non-differentiable sampling artifacts; their integer primal
+    # takes a float0 cotangent (matches XLA-path dropout, where the mask is
+    # a constant of the trace).
+    dmasks = (
+        None if masks is None
+        else np.zeros(masks.shape, dtype=jax.dtypes.float0)
+    )
     return dx, dwx0, dwxr, dwh, db, dmasks
 
 
@@ -570,18 +983,57 @@ def lstm_stack_last_all(
     rng=None,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    merged: bool | None = None,
 ):
     """Run the whole stacked LSTM fused: x [B, T, C] -> h_top [B, H].
 
     Matches `models.lstm.apply_lstm` exactly, including torch-style
     inter-layer dropout (masks drawn from the same fold_in(rng, l) streams,
     so train-mode numerics are bit-comparable to the XLA path).
+
+    `merged` selects the merged-gates kernels (default `_MERGED_GATES`):
+    per-layer weights concatenate to [[wx], [wh]] so each step runs one
+    [B, C+H] contraction; the weight-grad split back to (dwx, dwh) is the
+    XLA transpose of that concatenation.
     """
     layers = params["layers"]
     n_layers = len(layers)
     hidden = layers[0]["wh"].shape[0]
     x_tbc = jnp.swapaxes(x, 0, 1)  # [T, B, C]
     t, b, c_in = x_tbc.shape
+    if merged is None:
+        merged = _MERGED_GATES
+
+    b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
+
+    masks = None
+    keep = 1.0
+    if train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
+        keep = 1.0 - dropout_rate
+        # int8 {0, 1} — a quarter of the f32 bytes in HBM (the mask stream
+        # is written once by the bernoulli and read by BOTH kernel passes);
+        # the 1/keep scale folds into the kernel, where (m * f32(1/keep)) is
+        # exact for m in {0, 1} so numerics are unchanged vs pre-scaled f32.
+        masks = jnp.stack([
+            jax.random.bernoulli(
+                jax.random.fold_in(rng, l), keep, (t, b, hidden)
+            )
+            for l in range(n_layers - 1)
+        ]).astype(jnp.int8)  # [L-1, T, B, H]
+
+    if merged:
+        wcat0 = jnp.concatenate([layers[0]["wx"], layers[0]["wh"]], axis=0)
+        if n_layers > 1:
+            wcatr = jnp.stack([
+                jnp.concatenate([layers[l]["wx"], layers[l]["wh"]], axis=0)
+                for l in range(1, n_layers)
+            ])
+        else:
+            wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
+        return _stack_pallas_m(
+            x_tbc, wcat0, wcatr, b2d, compute_dtype,
+            interpret or _FORCE_INTERPRET, keep, masks,
+        )  # [B, H] last timestep
 
     wx0 = layers[0]["wx"]
     if n_layers > 1:
@@ -589,19 +1041,8 @@ def lstm_stack_last_all(
     else:
         wxr = jnp.zeros((1, hidden, 4 * hidden), wx0.dtype)
     wh = jnp.stack([layers[l]["wh"] for l in range(n_layers)])
-    b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
-
-    masks = None
-    if train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
-        keep = 1.0 - dropout_rate
-        masks = jnp.stack([
-            jax.random.bernoulli(
-                jax.random.fold_in(rng, l), keep, (t, b, hidden)
-            ).astype(jnp.float32) / keep
-            for l in range(n_layers - 1)
-        ])  # [L-1, T, B, H], values in {0, 1/keep}
 
     return _stack_pallas(
         x_tbc, wx0, wxr, wh, b2d, compute_dtype,
-        interpret or _FORCE_INTERPRET, masks,
+        interpret or _FORCE_INTERPRET, keep, masks,
     )  # [B, H] last timestep

@@ -9,6 +9,8 @@ bench.py's default kernel-parity gate.
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,6 +150,83 @@ def test_vmap_parity():
             lambda x: apply_lstm(params, x, kernel="pallas_stack")
         )(xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture
+def vbatch_on(monkeypatch):
+    """Pin the flag-gated V-batched kernels on (default off: measured
+    slower at reference shapes, benchmarks/lstm_vbatch_probe.json) so the
+    gated code stays covered."""
+    monkeypatch.setattr(fused_lstm_stack, "_VBATCH", True)
+
+
+def test_vbatch_grad_inside_vmap_per_task_weights(vbatch_on):
+    """MAML shape: vmap over tasks with PER-TASK params, grad INSIDE the
+    vmap — routes through the V-batched kernel's custom_vmap rules."""
+    rng = jax.random.key(21)
+    params_v = [_setup(30 + v)[0] for v in range(3)]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *params_v)
+    xs = jnp.stack([_setup(40 + v)[1] for v in range(3)])
+
+    def per_task(p, x):
+        def loss(pp):
+            out = _stack(pp, x, dropout_rate=0.3, train=True, rng=rng)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(loss)(p)
+
+    got = jax.vmap(per_task)(stacked, xs)
+
+    for v in range(3):
+        def loss_ref(pp):
+            out = apply_lstm(
+                pp, xs[v], kernel="xla", dropout_rate=0.3, train=True,
+                rng=rng,
+            )
+            return jnp.sum(out ** 2)
+
+        ref = jax.grad(loss_ref)(params_v[v])
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(b[v]), np.asarray(a), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_vbatch_grad_of_vmap_shared_weights(vbatch_on):
+    """Adaptation shape: grad OF a window-vmapped forward with SHARED
+    params — the V-batch bwd rule must sum weight cotangents over the
+    chain axis (unbatched-primal path)."""
+    params, _ = _setup(50)
+    xs = jnp.stack([_setup(60 + i)[1] for i in range(2)])
+    rng = jax.random.key(31)
+
+    def loss(kernel):
+        def f(p):
+            if kernel == "xla":
+                out = jax.vmap(
+                    lambda x, r: apply_lstm(
+                        p, x, kernel="xla", dropout_rate=0.25, train=True,
+                        rng=r,
+                    )
+                )(xs, jax.random.split(rng, 2))
+            else:
+                with fused_lstm_stack.force_interpret():
+                    out = jax.vmap(
+                        lambda x, r: apply_lstm(
+                            p, x, kernel="pallas_stack", dropout_rate=0.25,
+                            train=True, rng=r,
+                        )
+                    )(xs, jax.random.split(rng, 2))
+            return jnp.sum(out ** 2)
+
+        return f
+
+    g_ref = jax.grad(loss("xla"))(params)
+    g_got = jax.grad(loss("stack"))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
 
 
 def test_fo_meta_grad_through_stack_kernel(tiny_model_cfg):

@@ -77,6 +77,17 @@ _FORCE_INTERPRET = False
 # lstm_merged_probe.py); flip here if the probe ever reverses.
 _MERGED_GATES = True
 
+# Route vmap of the merged stack into the V-batched kernels (one kernel
+# instance issuing all chains' dots adjacently) instead of pallas's default
+# grid-serialized batching. MEASURED SLOWER at reference shapes (vmap 2,
+# interleaved A/B: LSTM grad 1.28 vs 1.21 ms/iter, meta step a wash —
+# benchmarks/lstm_vbatch_probe.json): Mosaic serializes the independent
+# dots within a program anyway, so folding chains into one instance only
+# adds VMEM pressure. Kept flag-gated (like the wavefront scheduler) in
+# case a future Mosaic pipelines across them; CI pins the flag on to keep
+# the kernels covered.
+_VBATCH = False
+
 
 class force_interpret:
     def __enter__(self):
@@ -868,6 +879,543 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     return dx, dwcat0, dwcatr, db
 
 
+# ---------------------------------------------------------------------------
+# V-batched merged kernels: vmap folds INTO the kernel, not onto the grid
+# ---------------------------------------------------------------------------
+#
+# jax.vmap of a pallas_call prepends a grid dimension, so the MAML task-vmap
+# (train/maml.py) runs V complete kernel instances BACK TO BACK — V
+# independent recurrent chains serialized, each leaving the MXU half-idle on
+# its latency-bound [B, C+H] @ [C+H, 4H] chain. These kernels take the task
+# axis V explicitly and issue the V independent contractions adjacently at
+# every (t, l), so one chain's gate math and weight loads hide under
+# another's dot. Wired in through jax.custom_batching.custom_vmap beneath
+# the custom VJP (custom_vjp outside, per the JAX composition rule), so any
+# vmap over the stack — tasks in the meta loop, windows in the adaptation
+# batch — lands here automatically; oversized V falls back to the old
+# grid-serialized behavior under a VMEM guard.
+
+
+def _fwd_kernel_mv(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
+                   h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+                   *, n_tasks, n_layers, hidden, has_masks, compute_dtype,
+                   keep=1.0):
+    t = pl.program_id(0)
+    res_dtype = h_out_ref.dtype
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    inv_keep = 1.0 / keep if has_masks else 1.0
+    inps = [x_ref[v, 0].astype(compute_dtype) for v in range(n_tasks)]
+    for l in range(n_layers):
+        # All V dots first (independent — the MXU pipelines across tasks),
+        # elementwise gate math after.
+        gates_v = []
+        for v in range(n_tasks):
+            w = (
+                wcat0_ref[v] if l == 0 else wcatr_ref[v, l - 1]
+            ).astype(compute_dtype)
+            xh = jnp.concatenate(
+                [inps[v], h_scr[v, l].astype(compute_dtype)], axis=1
+            )
+            gates_v.append(
+                jnp.dot(xh, w, preferred_element_type=jnp.float32)
+                + b_ref[v, pl.ds(l, 1), :]
+            )
+        for v in range(n_tasks):
+            gates = gates_v[v]
+            i = _sigmoid(gates[:, :hidden])
+            f = _sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = _sigmoid(gates[:, 3 * hidden:])
+            c = f * c_scr[v, l] + i * g
+            h = o * jnp.tanh(c)
+            h_scr[v, l] = h
+            c_scr[v, l] = c
+            h_out_ref[v, l, 0] = h.astype(res_dtype)
+            c_out_ref[v, l, 0] = c.astype(res_dtype)
+            if l == n_layers - 1:
+                h_last_ref[v] = h
+            if l < n_layers - 1:
+                nxt = h
+                if has_masks:
+                    nxt = nxt * (
+                        m_ref[v, l, 0].astype(jnp.float32) * inv_keep
+                    )
+                inps[v] = nxt.astype(compute_dtype)
+
+
+def _bwd_kernel_mv(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
+                   c_prev_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
+                   dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
+                   dh_scr, dc_scr,
+                   *, n_tasks, n_layers, hidden, c_in, has_masks,
+                   compute_dtype, t_len, keep=1.0):
+    s = pl.program_id(0)  # time index is T-1-s via the index maps
+    inv_keep = 1.0 / keep if has_masks else 1.0
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    at_t0 = s == t_len - 1
+    g_in = jnp.where(s == 0, g_ref[:], jnp.zeros_like(g_ref[:]))  # [V, B, H]
+
+    d_above = [None] * n_tasks
+    for l in range(n_layers - 1, -1, -1):
+        cw = c_in if l == 0 else hidden
+        # Recompute dots for all V chains back-to-back.
+        xh_v, w_v, gates_v = [], [], []
+        for v in range(n_tasks):
+            h_prev = jnp.where(
+                at_t0,
+                jnp.zeros((), jnp.float32),
+                h_prev_ref[v, l, 0].astype(jnp.float32),
+            )
+            if l == 0:
+                inp = x_ref[v, 0].astype(compute_dtype)
+                w = wcat0_ref[v].astype(compute_dtype)
+            else:
+                inp = h_all_ref[v, l - 1, 0]
+                if has_masks:
+                    inp = inp.astype(jnp.float32) * (
+                        m_ref[v, l - 1, 0].astype(jnp.float32) * inv_keep
+                    )
+                inp = inp.astype(compute_dtype)
+                w = wcatr_ref[v, l - 1].astype(compute_dtype)
+            xh = jnp.concatenate([inp, h_prev.astype(compute_dtype)], axis=1)
+            gates_v.append(
+                jnp.dot(xh, w, preferred_element_type=jnp.float32)
+                + b_ref[v, pl.ds(l, 1), :]
+            )
+            xh_v.append(xh)
+            w_v.append(w)
+        # Elementwise gate gradients per chain.
+        dgates_v = []
+        for v in range(n_tasks):
+            gates = gates_v[v]
+            i = _sigmoid(gates[:, :hidden])
+            f = _sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = _sigmoid(gates[:, 3 * hidden:])
+            c_prev = jnp.where(
+                at_t0,
+                jnp.zeros((), jnp.float32),
+                c_prev_ref[v, l, 0].astype(jnp.float32),
+            )
+            tc = jnp.tanh(c_all_ref[v, l, 0].astype(jnp.float32))
+            dh = dh_scr[v, l]
+            if l == n_layers - 1:
+                dh = dh + g_in[v]
+            if d_above[v] is not None:
+                dh = dh + d_above[v]
+            dc = dc_scr[v, l] + dh * o * (1.0 - tc * tc)
+            do_pre = dh * tc * o * (1.0 - o)
+            di_pre = dc * g * i * (1.0 - i)
+            df_pre = dc * c_prev * f * (1.0 - f)
+            dg_pre = dc * i * (1.0 - g * g)
+            dgates = jnp.concatenate(
+                [di_pre, df_pre, dg_pre, do_pre], axis=-1
+            )
+            dgates_v.append((dgates, dgates.astype(compute_dtype), dc * f))
+        # Input-gradient dots, adjacently.
+        for v in range(n_tasks):
+            _, dgates_c, dcf = dgates_v[v]
+            dxh = jax.lax.dot_general(
+                dgates_c, w_v[v], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d_in = dxh[:, :cw]
+            dh_scr[v, l] = dxh[:, cw:]
+            dc_scr[v, l] = dcf
+            if l == 0:
+                dx_ref[v, 0] = d_in.astype(dx_ref.dtype)
+                d_above[v] = None
+            else:
+                if has_masks:
+                    d_in = d_in * (
+                        m_ref[v, l - 1, 0].astype(jnp.float32) * inv_keep
+                    )
+                d_above[v] = d_in
+        # Weight/bias gradients, accumulated across the revisited blocks.
+        for v in range(n_tasks):
+            dgates, dgates_c, _ = dgates_v[v]
+            dwcat_upd = jax.lax.dot_general(
+                xh_v[v], dgates_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_upd = jnp.sum(dgates, axis=0, keepdims=True)
+            if l == 0:
+                @pl.when(s == 0)
+                def _(v=v, u=dwcat_upd):
+                    dwcat0_ref[v] = u
+
+                @pl.when(s > 0)
+                def _(v=v, u=dwcat_upd):
+                    dwcat0_ref[v] = dwcat0_ref[v] + u
+            else:
+                @pl.when(s == 0)
+                def _(v=v, l=l, u=dwcat_upd):
+                    dwcatr_ref[v, l - 1] = u
+
+                @pl.when(s > 0)
+                def _(v=v, l=l, u=dwcat_upd):
+                    dwcatr_ref[v, l - 1] = dwcatr_ref[v, l - 1] + u
+
+            @pl.when(s == 0)
+            def _(v=v, l=l, u=db_upd):
+                db_ref[v, pl.ds(l, 1), :] = u
+
+            @pl.when(s > 0)
+            def _(v=v, l=l, u=db_upd):
+                db_ref[v, pl.ds(l, 1), :] = db_ref[v, pl.ds(l, 1), :] + u
+
+    if n_layers == 1:
+        @pl.when(s == 0)
+        def _():
+            dwcatr_ref[:] = jnp.zeros_like(dwcatr_ref)
+
+
+def _fwd_kernel_mv_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
+                          h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+                          *, n_tasks, n_layers, hidden, compute_dtype):
+    _fwd_kernel_mv(
+        x_ref, wcat0_ref, wcatr_ref, b_ref, None,
+        h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
+        n_tasks=n_tasks, n_layers=n_layers, hidden=hidden, has_masks=False,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _bwd_kernel_mv_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
+                          c_prev_ref, wcat0_ref, wcatr_ref, b_ref,
+                          dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
+                          dh_scr, dc_scr,
+                          *, n_tasks, n_layers, hidden, c_in, compute_dtype,
+                          t_len):
+    _bwd_kernel_mv(
+        g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
+        wcat0_ref, wcatr_ref, b_ref, None,
+        dx_ref, dwcat0_ref, dwcatr_ref, db_ref, dh_scr, dc_scr,
+        n_tasks=n_tasks, n_layers=n_layers, hidden=hidden, c_in=c_in,
+        has_masks=False, compute_dtype=compute_dtype, t_len=t_len,
+    )
+
+
+def _fwd_pallas_mv(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
+                   keep=1.0):
+    nv, t, b, c_in = x.shape
+    n_layers, g4 = b2d.shape[1], b2d.shape[2]
+    hidden = g4 // 4
+    has_masks = masks is not None
+    lr = max(n_layers - 1, 1)
+    in_specs = [
+        pl.BlockSpec(
+            (nv, 1, b, c_in), lambda s: (0, s, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, c_in + hidden, g4), lambda s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (nv, lr, 2 * hidden, g4), lambda s: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (nv, n_layers, g4), lambda s: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (nv, n_layers - 1, 1, b, hidden),
+                lambda s: (0, 0, s, 0, 0), memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), lambda s: (0, 0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), lambda s: (0, 0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (nv, b, hidden), lambda s: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    kernel = (
+        functools.partial(
+            _fwd_kernel_mv, n_tasks=nv, n_layers=n_layers, hidden=hidden,
+            has_masks=True, compute_dtype=compute_dtype, keep=keep,
+        )
+        if has_masks
+        else functools.partial(
+            _fwd_kernel_mv_nomask, n_tasks=nv, n_layers=n_layers,
+            hidden=hidden, compute_dtype=compute_dtype,
+        )
+    )
+    args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
+    rd = _res_dtype(compute_dtype)
+    h_all, c_all, h_last = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd),
+            jax.ShapeDtypeStruct((nv, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret, min(112, 24 + 28 * nv)),
+        interpret=interpret,
+    )(*args)
+    return h_all, c_all, h_last
+
+
+def _bwd_pallas_mv(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
+                   compute_dtype, interpret, keep=1.0):
+    nv, t, b, c_in = x.shape
+    n_layers, g4 = b2d.shape[1], b2d.shape[2]
+    hidden = g4 // 4
+    has_masks = masks is not None
+    lr = max(n_layers - 1, 1)
+    rev4 = lambda s: (0, t - 1 - s, 0, 0)
+    rev5 = lambda s: (0, 0, t - 1 - s, 0, 0)
+    prev5 = lambda s: (0, 0, jnp.maximum(t - 2 - s, 0), 0, 0)
+    const3 = lambda s: (0, 0, 0)
+    const4 = lambda s: (0, 0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((nv, b, hidden), const3, memory_space=pltpu.VMEM),  # g
+        pl.BlockSpec((nv, 1, b, c_in), rev4, memory_space=pltpu.VMEM),   # x
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), rev5, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), prev5, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), rev5, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, n_layers, 1, b, hidden), prev5, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, c_in + hidden, g4), const3, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, lr, 2 * hidden, g4), const4, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((nv, n_layers, g4), const3, memory_space=pltpu.VMEM),
+    ]
+    if has_masks:
+        in_specs.append(
+            pl.BlockSpec(
+                (nv, n_layers - 1, 1, b, hidden),
+                lambda s: (0, 0, t - 1 - s, 0, 0), memory_space=pltpu.VMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec((nv, 1, b, c_in), rev4, memory_space=pltpu.VMEM),   # dx
+        pl.BlockSpec(
+            (nv, c_in + hidden, g4), const3, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (nv, lr, 2 * hidden, g4), const4, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((nv, n_layers, g4), const3, memory_space=pltpu.VMEM),
+    ]
+    kernel = (
+        functools.partial(
+            _bwd_kernel_mv, n_tasks=nv, n_layers=n_layers, hidden=hidden,
+            c_in=c_in, has_masks=True, compute_dtype=compute_dtype,
+            t_len=t, keep=keep,
+        )
+        if has_masks
+        else functools.partial(
+            _bwd_kernel_mv_nomask, n_tasks=nv, n_layers=n_layers,
+            hidden=hidden, c_in=c_in, compute_dtype=compute_dtype, t_len=t,
+        )
+    )
+    args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]
+    if has_masks:
+        args.append(masks)
+    dx, dwcat0, dwcatr, db = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nv, t, b, c_in), x.dtype),
+            jax.ShapeDtypeStruct((nv, c_in + hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((nv, lr, 2 * hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((nv, n_layers, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),
+            pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),
+        ],
+        compiler_params=_compiler_params(interpret, min(120, 32 + 40 * nv)),
+        interpret=interpret,
+    )(*args)
+    return dx, dwcat0, dwcatr, db
+
+
+def vbatch_supported(nv: int, t: int, b: int, c_in: int, hidden: int,
+                     n_layers: int) -> bool:
+    """Can V chains fold into one kernel instance within the VMEM budget?
+
+    Past this, the custom_vmap rules fall back to jax.vmap of the
+    single-task kernel (pallas's default grid-serialized batching).
+    """
+    g4 = 4 * hidden
+    weights = nv * ((c_in + hidden) * g4 + (n_layers - 1) * 2 * hidden * g4
+                    + n_layers * g4) * 4
+    streamed = nv * b * (c_in + hidden * (4 + n_layers - 1) + hidden
+                         + c_in) * 4
+    accum = weights
+    scratch = 2 * nv * n_layers * b * hidden * 4
+    return 2 * streamed + weights + accum + scratch <= 2 * _VMEM_BUDGET_BYTES
+
+
+def _vbcast(axis_size, in_batched, args):
+    flat = []
+    for a, batched in zip(args, in_batched):
+        flat.append(
+            a if batched
+            else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        )
+    return flat
+
+
+@functools.lru_cache(maxsize=64)
+def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
+    """custom_vjp(custom_vmap(...)) wiring for the merged stack kernel.
+
+    Cached per (dtype, interpret, keep, has_masks) so jit retracing reuses
+    one function identity. The custom_vjp must wrap the custom_vmap'd
+    calls (JAX composition rule); vmap of this function therefore batches
+    the fwd/bwd bodies, whose pallas calls the custom_vmap rules intercept
+    and route to the V-batched kernels.
+    """
+    compute_dtype = jnp.dtype(dtype_str)
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fwd_call(*args):
+        x, wcat0, wcatr, b2d = args[:4]
+        masks = args[4] if has_masks else None
+        return _fwd_pallas_m(
+            x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep
+        )
+
+    @fwd_call.def_vmap
+    def _fwd_rule(axis_size, in_batched, *args):
+        bargs = _vbcast(axis_size, in_batched, args)
+        x = bargs[0]
+        nv, t, b, c_in = x.shape
+        hidden = bargs[3].shape[-1] // 4
+        n_layers = bargs[3].shape[1]
+        masks = bargs[4] if has_masks else None
+        if vbatch_supported(nv, t, b, c_in, hidden, n_layers):
+            outs = _fwd_pallas_mv(
+                x, bargs[1], bargs[2], bargs[3], masks, compute_dtype,
+                interpret, keep,
+            )
+        else:
+            outs = jax.vmap(
+                lambda *a: _fwd_pallas_m(
+                    *a[:4], a[4] if has_masks else None, compute_dtype,
+                    interpret, keep,
+                )
+            )(*bargs)
+        return outs, (True, True, True)
+
+    @custom_vmap
+    def bwd_call(*args):
+        g, x, h_all, c_all, wcat0, wcatr, b2d = args[:7]
+        masks = args[7] if has_masks else None
+        return _bwd_pallas_m(
+            g, x, h_all, c_all, wcat0, wcatr, b2d, masks, compute_dtype,
+            interpret, keep,
+        )
+
+    @bwd_call.def_vmap
+    def _bwd_rule(axis_size, in_batched, *args):
+        bargs = _vbcast(axis_size, in_batched, args)
+        x = bargs[1]
+        nv, t, b, c_in = x.shape
+        hidden = bargs[6].shape[-1] // 4
+        n_layers = bargs[6].shape[1]
+        masks = bargs[7] if has_masks else None
+        if vbatch_supported(nv, t, b, c_in, hidden, n_layers):
+            dx, dwcat0, dwcatr, db = _bwd_pallas_mv(
+                bargs[0], x, bargs[2], bargs[3], bargs[4], bargs[5],
+                bargs[6], masks, compute_dtype, interpret, keep,
+            )
+        else:
+            dx, dwcat0, dwcatr, db = jax.vmap(
+                lambda *a: _bwd_pallas_m(
+                    *a[:7], a[7] if has_masks else None, compute_dtype,
+                    interpret, keep,
+                )
+            )(*bargs)
+        # Cotangents of unbatched primals (shared weights under a window
+        # vmap) must come back unbatched: sum over the chain axis, exactly
+        # what the transpose of the broadcast would do.
+        outs, outs_b = [], []
+        for cot, primal_batched in zip(
+            (dx, dwcat0, dwcatr, db),
+            (in_batched[1], in_batched[4], in_batched[5], in_batched[6]),
+        ):
+            if primal_batched:
+                outs.append(cot)
+                outs_b.append(True)
+            else:
+                outs.append(cot.sum(axis=0))
+                outs_b.append(False)
+        return tuple(outs), tuple(outs_b)
+
+    @jax.custom_vjp
+    def stack(*args):
+        return fwd_call(*args)[2]
+
+    def stack_fwd(*args):
+        h_all, c_all, h_last = fwd_call(*args)
+        return h_last, (args, h_all, c_all)
+
+    def stack_bwd(res, g):
+        args, h_all, c_all = res
+        x, wcat0, wcatr, b2d = args[:4]
+        masks = args[4] if has_masks else None
+        bwd_args = [g, x, h_all, c_all, wcat0, wcatr, b2d]
+        if has_masks:
+            bwd_args.append(masks)
+        dx, dwcat0, dwcatr, db = bwd_call(*bwd_args)
+        grads = (
+            dx.astype(x.dtype),
+            dwcat0.astype(wcat0.dtype),
+            dwcatr.astype(wcatr.dtype),
+            db.astype(b2d.dtype),
+        )
+        if has_masks:
+            grads = grads + (np.zeros(masks.shape, dtype=jax.dtypes.float0),)
+        return grads
+
+    stack.defvjp(stack_fwd, stack_bwd)
+    return stack
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _stack_pallas_m(x, wcat0, wcatr, b2d, compute_dtype, interpret, keep,
                     masks):
@@ -1030,6 +1578,16 @@ def lstm_stack_last_all(
             ])
         else:
             wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
+        if _VBATCH:
+            fn = _merged_stack_fn(
+                jnp.dtype(compute_dtype).name,
+                bool(interpret or _FORCE_INTERPRET),
+                float(keep), masks is not None,
+            )
+            args = (x_tbc, wcat0, wcatr, b2d)
+            if masks is not None:
+                args = args + (masks,)
+            return fn(*args)  # [B, H] last timestep
         return _stack_pallas_m(
             x_tbc, wcat0, wcatr, b2d, compute_dtype,
             interpret or _FORCE_INTERPRET, keep, masks,

@@ -82,6 +82,46 @@ def test_grad_parity_all_leaves():
         )
 
 
+def test_grad_parity_across_time_blocks(monkeypatch):
+    """W=8 with _TIME_BLOCK=4 runs TWO grid programs, covering the
+    cross-program dW/db accumulation; _TIME_BLOCK=1 covers the unblocked
+    per-slice configuration. Both must match XLA."""
+    cfg8 = dataclasses.replace(CFG, window=8)
+    enc = init_encoder(jax.random.key(11), cfg8)
+    rng_np = np.random.default_rng(11)
+    n = 32
+    a = jnp.asarray(rng_np.uniform(size=(n, n)).astype(np.float32) / n)
+    x = jnp.asarray(
+        rng_np.normal(size=(cfg8.window, n, cfg8.in_channels)), jnp.float32
+    )
+    rng = jax.random.key(12)
+
+    def loss(use_pallas):
+        def f(enc):
+            if use_pallas:
+                with fused_gcn_train.force_interpret():
+                    out = apply_encoder(
+                        enc, a, x, cfg8, train=True, rng=rng, use_pallas=True
+                    )
+            else:
+                out = apply_encoder(
+                    enc, a, x, cfg8, train=True, rng=rng, use_pallas=False
+                )
+            return jnp.sum(out ** 2)
+
+        return f
+
+    g_ref = jax.grad(loss(False))(enc)
+    for wb in (4, 1):
+        monkeypatch.setattr(fused_gcn_train, "_TIME_BLOCK", wb)
+        g_got = jax.grad(loss(True))(enc)
+        for a_, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a_), rtol=1e-4, atol=1e-5,
+                err_msg=f"wb={wb}",
+            )
+
+
 def test_single_layer_stack():
     cfg1 = dataclasses.replace(CFG, gcn_layers=1)
     enc = init_encoder(jax.random.key(4), cfg1)

@@ -10,14 +10,16 @@ the encoder grad at 0.97 ms vs its ~0.6 ms matmul floor.
 This kernel runs the WHOLE encoder — every layer's H@W, A@(HW), bias,
 ReLU, and dropout-mask multiply — inside one Pallas program per direction:
 
-  * forward: grid=(W,) over time slices (no cross-step state — each slice
-    is independent); A and all weights VMEM-resident; per-layer
+  * forward: grid=(W/wb,) over time-slice BLOCKS (`_TIME_BLOCK` slices per
+    program — slices are independent, so the H@W contraction runs over all
+    wb*N rows at once); A and all weights VMEM-resident; per-layer
     post-dropout activations stream out as residuals;
-  * backward: grid=(W,) again (no reversal needed), recovers relu' from
+  * backward: grid=(W/wb,) again (no reversal needed), recovers relu' from
     the post-dropout residuals (h>0 iff z>0 wherever the mask is live;
     masked positions contribute zero via the mask factor), uses transposed
-    `dot_general` contractions instead of materialized A^T/W^T, and
-    accumulates dW/db into revisited output blocks.
+    `dot_general` contractions instead of materialized A^T/W^T, computes
+    each block's dW in one wb*N-deep contraction, and accumulates dW/db
+    into revisited output blocks (wb x fewer accumulator round-trips).
 
 Dropout masks are drawn in XLA bit-identically to the layerwise path
 (same fold_in(rng, l) streams, full [W, N, hidden] draw) and streamed as
@@ -75,54 +77,59 @@ def _compiler_params(interpret: bool, mib: int):
 
 
 def _fwd_kernel(x_ref, a_ref, w0_ref, wr_ref, b_ref, m_ref, h_out_ref,
-                *, n_layers, n_masks, compute_dtype, keep=1.0):
+                *, n_layers, n_masks, compute_dtype, keep=1.0, wb=1):
     a = a_ref[:].astype(compute_dtype)
-    h = x_ref[0]
+    h = x_ref[:]  # [wb, N, C] — wb independent time slices per program
     res_dtype = h_out_ref.dtype
     inv_keep = 1.0 / keep if n_masks else 1.0
+    n = h.shape[1]
     for l in range(n_layers):
         w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
+        c_l = h.shape[-1]
+        # H@W over ALL wb slices in one contraction ([wb*N, C] rows — the
+        # leading-dim merge is a free row-major reshape).
         hw = jnp.dot(
-            h.astype(compute_dtype), w, preferred_element_type=jnp.float32
-        )
-        z = (
-            jnp.dot(
-                a, hw.astype(compute_dtype), preferred_element_type=jnp.float32
-            )
-            + b_ref[pl.ds(l, 1), :]
-        )
+            h.astype(compute_dtype).reshape(wb * n, c_l), w,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype).reshape(wb, n, -1)
+        # A@(HW) per slice (A is block-diagonal over slices).
+        z = jnp.stack([
+            jnp.dot(a, hw[s], preferred_element_type=jnp.float32)
+            for s in range(wb)
+        ]) + b_ref[pl.ds(l, 1), :]
         h = jnp.maximum(z, 0.0)
         if l < n_masks:
             # Masks stream as int8 {0, 1} (quarter the HBM bytes of the old
             # f32 {0, 1/keep} stream); the 1/keep scale folds in here, and
             # (m * f32(1/keep)) is exact for m in {0, 1}, so the products
             # are bit-identical to the old pre-scaled-mask stream.
-            h = h * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
+            h = h * (m_ref[l].astype(jnp.float32) * inv_keep)
         # Residuals stream at compute precision (halves the HBM stream under
         # bf16 training): every backward use re-casts to compute_dtype for
         # the MXU anyway, and the relu'-sign recovery (h > 0) is unaffected
         # by bf16 rounding. The last layer's residual IS the primal output —
         # its consumer (the LSTM) casts to compute_dtype before its matmuls.
-        h_out_ref[l, 0] = h.astype(res_dtype)
+        h_out_ref[l] = h.astype(res_dtype)
 
 
 def _fwd_kernel_nomask(x_ref, a_ref, w0_ref, wr_ref, b_ref, h_out_ref,
-                       *, n_layers, compute_dtype):
+                       *, n_layers, compute_dtype, wb=1):
     _fwd_kernel(
         x_ref, a_ref, w0_ref, wr_ref, b_ref, None, h_out_ref,
-        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype,
+        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype, wb=wb,
     )
 
 
 def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
                 dx_ref, dw0_ref, dwr_ref, db_ref,
-                *, n_layers, n_masks, compute_dtype, keep=1.0):
+                *, n_layers, n_masks, compute_dtype, keep=1.0, wb=1):
     t = pl.program_id(0)
     a = a_ref[:].astype(compute_dtype)
     inv_keep = 1.0 / keep if n_masks else 1.0
-    dh = g_ref[0]  # [B, hidden] cotangent of the final layer's output
+    dh = g_ref[:]  # [wb, N, hidden] cotangent of the final layer's output
+    n = dh.shape[1]
     for l in range(n_layers - 1, -1, -1):
-        h_post = h_all_ref[l, 0]
+        h_post = h_all_ref[l]
         # relu'(z) recovered from the post-dropout residual: where the mask
         # is live, h_post > 0 iff z > 0; where the mask is 0 the mask
         # factor below zeroes the contribution anyway. The compare runs in
@@ -130,25 +137,36 @@ def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
         # sign (positives round to positives, zero is exact).
         dz = dh * (h_post.astype(jnp.float32) > 0.0).astype(jnp.float32)
         if l < n_masks:
-            dz = dz * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
-        # dhw = A^T @ dz via a transposed contraction (no materialized A^T).
-        dhw = jax.lax.dot_general(
-            a, dz.astype(compute_dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        inp = (x_ref[0] if l == 0 else h_all_ref[l - 1, 0]).astype(compute_dtype)
+            dz = dz * (m_ref[l].astype(jnp.float32) * inv_keep)
+        dz_c = dz.astype(compute_dtype)
+        # dhw[s] = A^T @ dz[s] per slice via transposed contractions (no
+        # materialized A^T).
+        dhw = jnp.stack([
+            jax.lax.dot_general(
+                a, dz_c[s], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for s in range(wb)
+        ]).astype(compute_dtype)  # [wb, N, hid]
+        inp = (x_ref[:] if l == 0 else h_all_ref[l - 1]).astype(compute_dtype)
+        c_l = inp.shape[-1]
+        hid = dhw.shape[-1]
+        # Weight grad over ALL wb slices in ONE deep contraction
+        # ([wb*N]-long MAC chains instead of wb accumulated [N]-long ones —
+        # the whole point of time-blocking).
         dw_upd = jax.lax.dot_general(
-            inp, dhw.astype(compute_dtype), (((0,), (0,)), ((), ())),
+            inp.reshape(wb * n, c_l), dhw.reshape(wb * n, hid),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        db_upd = jnp.sum(dz, axis=0, keepdims=True)
+        db_upd = jnp.sum(dz, axis=(0, 1), keepdims=False)[None]  # [1, hid]
         w = (w0_ref[:] if l == 0 else wr_ref[l - 1]).astype(compute_dtype)
         d_in = jax.lax.dot_general(
-            dhw.astype(compute_dtype), w, (((1,), (1,)), ((), ())),
+            dhw.reshape(wb * n, hid), w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).reshape(wb, n, c_l)
         if l == 0:
-            dx_ref[0] = d_in.astype(dx_ref.dtype)
+            dx_ref[:] = d_in.astype(dx_ref.dtype)
         else:
             dh = d_in
 
@@ -185,11 +203,11 @@ def _bwd_kernel(g_ref, x_ref, a_ref, w0_ref, wr_ref, m_ref, h_all_ref,
 
 def _bwd_kernel_nomask(g_ref, x_ref, a_ref, w0_ref, wr_ref, h_all_ref,
                        dx_ref, dw0_ref, dwr_ref, db_ref,
-                       *, n_layers, compute_dtype):
+                       *, n_layers, compute_dtype, wb=1):
     _bwd_kernel(
         g_ref, x_ref, a_ref, w0_ref, wr_ref, None, h_all_ref,
         dx_ref, dw0_ref, dwr_ref, db_ref,
-        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype,
+        n_layers=n_layers, n_masks=0, compute_dtype=compute_dtype, wb=wb,
     )
 
 
@@ -198,13 +216,31 @@ def _bwd_kernel_nomask(g_ref, x_ref, a_ref, w0_ref, wr_ref, h_all_ref,
 # ---------------------------------------------------------------------------
 
 
+# Time slices folded into each program instance. The weight-grad
+# contraction deepens from N- to wb*N-long MAC chains and the dW/db
+# accumulator writes drop by wb; the per-slice A dots stay per-slice
+# (A is block-diagonal over time). A/B'd at reference shapes in
+# benchmarks/gcn_block_probe.py; flip here if the probe ever reverses.
+_TIME_BLOCK = 4
+
+
+def _pick_wb(t: int, requested: int | None) -> int:
+    """Largest divisor of t that is <= the requested block size."""
+    want = _TIME_BLOCK if requested is None else requested
+    for wb in range(min(want, t), 0, -1):
+        if t % wb == 0:
+            return wb
+    return 1
+
+
 def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret,
-                keep=1.0):
+                keep=1.0, wb=None):
     t, n, c_in = x.shape
     n_layers, hid = b2d.shape
     n_masks = 0 if masks is None else masks.shape[0]
+    wb = _pick_wb(t, wb)
     in_specs = [
-        pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n, n), lambda s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -217,44 +253,46 @@ def _fwd_pallas(x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret,
     if masks is not None:
         in_specs.append(
             pl.BlockSpec(
-                (n_masks, 1, n, hid), lambda s: (0, s, 0, 0),
+                (n_masks, wb, n, hid), lambda s: (0, s, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         args.append(masks)
         kernel = functools.partial(
             _fwd_kernel, n_layers=n_layers, n_masks=n_masks,
-            compute_dtype=compute_dtype, keep=keep,
+            compute_dtype=compute_dtype, keep=keep, wb=wb,
         )
     else:
         kernel = functools.partial(
             _fwd_kernel_nomask, n_layers=n_layers, compute_dtype=compute_dtype,
+            wb=wb,
         )
     h_all = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // wb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (n_layers, 1, n, hid), lambda s: (0, s, 0, 0),
+            (n_layers, wb, n, hid), lambda s: (0, s, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_layers, t, n, hid), jnp.dtype(compute_dtype)
         ),
-        compiler_params=_compiler_params(interpret, 48),
+        compiler_params=_compiler_params(interpret, 32 + 8 * wb),
         interpret=interpret,
     )(*args)
     return h_all
 
 
 def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret,
-                keep=1.0):
+                keep=1.0, wb=None):
     t, n, c_in = x.shape
     n_layers, _, hid = h_all.shape[0], h_all.shape[1], h_all.shape[3]
     n_masks = 0 if masks is None else masks.shape[0]
+    wb = _pick_wb(t, wb)
     in_specs = [
-        pl.BlockSpec((1, n, hid), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, n, hid), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n, n), lambda s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -266,14 +304,14 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret,
     if masks is not None:
         in_specs.append(
             pl.BlockSpec(
-                (n_masks, 1, n, hid), lambda s: (0, s, 0, 0),
+                (n_masks, wb, n, hid), lambda s: (0, s, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         args.append(masks)
     in_specs.append(
         pl.BlockSpec(
-            (n_layers, 1, n, hid), lambda s: (0, s, 0, 0),
+            (n_layers, wb, n, hid), lambda s: (0, s, 0, 0),
             memory_space=pltpu.VMEM,
         )
     )
@@ -281,19 +319,20 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret,
     kernel = (
         functools.partial(
             _bwd_kernel, n_layers=n_layers, n_masks=n_masks,
-            compute_dtype=compute_dtype, keep=keep,
+            compute_dtype=compute_dtype, keep=keep, wb=wb,
         )
         if masks is not None
         else functools.partial(
             _bwd_kernel_nomask, n_layers=n_layers, compute_dtype=compute_dtype,
+            wb=wb,
         )
     )
     dx, dw0, dwr, db = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // wb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, n, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c_in, hid), lambda s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (max(n_layers - 1, 1), hid, hid), lambda s: (0, 0, 0),
@@ -307,7 +346,7 @@ def _bwd_pallas(g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret,
             jax.ShapeDtypeStruct((max(n_layers - 1, 1), hid, hid), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, hid), jnp.float32),
         ],
-        compiler_params=_compiler_params(interpret, 64),
+        compiler_params=_compiler_params(interpret, 48 + 10 * wb),
         interpret=interpret,
     )(*args)
     return dx, dw0, dwr, db

@@ -192,10 +192,13 @@ def test_vbatch_grad_inside_vmap_per_task_weights(vbatch_on):
             )
 
 
-def test_vbatch_grad_of_vmap_shared_weights(vbatch_on):
+@pytest.mark.parametrize("rowfold", [True, False])
+def test_vbatch_grad_of_vmap_shared_weights(vbatch_on, monkeypatch, rowfold):
     """Adaptation shape: grad OF a window-vmapped forward with SHARED
-    params — the V-batch bwd rule must sum weight cotangents over the
-    chain axis (unbatched-primal path)."""
+    params. rowfold=True exercises the row-fold route (chains folded into
+    kernel rows; dW comes back pre-summed); rowfold=False exercises the
+    V-batched kernels' unbatched-primal cotangent summing."""
+    monkeypatch.setattr(fused_lstm_stack, "_ROWFOLD", rowfold)
     params, _ = _setup(50)
     xs = jnp.stack([_setup(60 + i)[1] for i in range(2)])
     rng = jax.random.key(31)

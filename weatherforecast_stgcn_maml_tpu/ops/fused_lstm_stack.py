@@ -77,16 +77,27 @@ _FORCE_INTERPRET = False
 # lstm_merged_probe.py); flip here if the probe ever reverses.
 _MERGED_GATES = True
 
-# Route vmap of the merged stack into the V-batched kernels (one kernel
-# instance issuing all chains' dots adjacently) instead of pallas's default
-# grid-serialized batching. MEASURED SLOWER at reference shapes (vmap 2,
-# interleaved A/B: LSTM grad 1.28 vs 1.21 ms/iter, meta step a wash —
-# benchmarks/lstm_vbatch_probe.json): Mosaic serializes the independent
-# dots within a program anyway, so folding chains into one instance only
-# adds VMEM pressure. Kept flag-gated (like the wavefront scheduler) in
-# case a future Mosaic pipelines across them; CI pins the flag on to keep
-# the kernels covered.
+# vmap routing for the merged stack (jax.custom_batching.custom_vmap
+# rules; the wiring itself is always on):
+#
+# _VBATCH — PER-TASK weights (the meta loop): fold the chains into ONE
+# kernel instance issuing all chains' dots adjacently. MEASURED SLOWER at
+# reference shapes (vmap 2, interleaved A/B: LSTM grad 1.28 vs 1.21
+# ms/iter, meta step a wash — benchmarks/lstm_vbatch_probe.json): Mosaic
+# serializes the independent dots within a program anyway, so the fold
+# only adds VMEM pressure. Flag-gated off (like the wavefront scheduler);
+# CI pins it on to keep the kernels covered.
 _VBATCH = False
+
+# _ROWFOLD — SHARED weights (the adaptation window batch): fold the
+# chains into the ROW dimension of the single-task kernel — half the
+# dependent dots at double width. MEASURED A WASH on the real adapt train
+# step (batch 2, 90-step chains, interleaved: best 208 vs 210 ms,
+# numerics 5e-7 — benchmarks/adapt_fold_probe.json): at 512 rows the
+# dots are already execution-dominated and the x/residual relayouts eat
+# the latency gain. Default off; the parametrized CI test covers both
+# routes.
+_ROWFOLD = False
 
 
 class force_interpret:
@@ -1321,13 +1332,41 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
 
     @fwd_call.def_vmap
     def _fwd_rule(axis_size, in_batched, *args):
+        weights_batched = in_batched[1] or in_batched[2] or in_batched[3]
         bargs = _vbcast(axis_size, in_batched, args)
         x = bargs[0]
         nv, t, b, c_in = x.shape
-        hidden = bargs[3].shape[-1] // 4
-        n_layers = bargs[3].shape[1]
+        n_layers, g4 = args[3].shape[-2], args[3].shape[-1]
+        hidden = g4 // 4
         masks = bargs[4] if has_masks else None
-        if vbatch_supported(nv, t, b, c_in, hidden, n_layers):
+        if _ROWFOLD and not weights_batched and stack_supported(
+            t, nv * b, c_in, hidden, n_layers
+        ):
+            # SHARED weights (adaptation window batch): fold the chains into
+            # the row dimension — half the dependent dots at double width,
+            # the one fold that genuinely reduces MXU pipeline-latency share
+            # (benchmarks/roofline_r3.md). Exact: rows are independent.
+            xf = jnp.moveaxis(x, 0, 1).reshape(t, nv * b, c_in)
+            mf = None
+            if has_masks:
+                # [V, L-1, T, B, H] -> [L-1, T, V*B, H]
+                mf = jnp.moveaxis(masks, 0, 2).reshape(
+                    n_layers - 1, t, nv * b, hidden
+                )
+            h_all, c_all, h_last = _fwd_pallas_m(
+                xf, args[1], args[2], args[3], mf, compute_dtype,
+                interpret, keep,
+            )
+            # Back to batched layout (bwd re-folds; XLA cancels the pair
+            # for the residuals).
+            h_all = jnp.moveaxis(
+                h_all.reshape(n_layers, t, nv, b, hidden), 2, 0
+            )
+            c_all = jnp.moveaxis(
+                c_all.reshape(n_layers, t, nv, b, hidden), 2, 0
+            )
+            outs = (h_all, c_all, h_last.reshape(nv, b, hidden))
+        elif _VBATCH and vbatch_supported(nv, t, b, c_in, hidden, n_layers):
             outs = _fwd_pallas_mv(
                 x, bargs[1], bargs[2], bargs[3], masks, compute_dtype,
                 interpret, keep,
@@ -1352,13 +1391,48 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
 
     @bwd_call.def_vmap
     def _bwd_rule(axis_size, in_batched, *args):
+        weights_batched = in_batched[4] or in_batched[5] or in_batched[6]
         bargs = _vbcast(axis_size, in_batched, args)
         x = bargs[1]
         nv, t, b, c_in = x.shape
-        hidden = bargs[6].shape[-1] // 4
-        n_layers = bargs[6].shape[1]
+        n_layers, g4 = args[6].shape[-2], args[6].shape[-1]
+        hidden = g4 // 4
         masks = bargs[7] if has_masks else None
-        if vbatch_supported(nv, t, b, c_in, hidden, n_layers):
+        if _ROWFOLD and not weights_batched and stack_supported(
+            t, nv * b, c_in, hidden, n_layers
+        ):
+            # Shared weights: row-fold, mirroring the fwd rule. dwcat/db
+            # come out already summed over every row — i.e. over the chain
+            # axis — which is exactly the unbatched-primal cotangent.
+            gf = bargs[0].reshape(nv * b, hidden)
+            xf = jnp.moveaxis(x, 0, 1).reshape(t, nv * b, c_in)
+            h_f = jnp.moveaxis(bargs[2], 0, 2).reshape(
+                n_layers, t, nv * b, hidden
+            )
+            c_f = jnp.moveaxis(bargs[3], 0, 2).reshape(
+                n_layers, t, nv * b, hidden
+            )
+            mf = None
+            if has_masks:
+                mf = jnp.moveaxis(masks, 0, 2).reshape(
+                    n_layers - 1, t, nv * b, hidden
+                )
+            dx, dwcat0, dwcatr, db = _bwd_pallas_m(
+                gf, xf, h_f, c_f, args[4], args[5], args[6], mf,
+                compute_dtype, interpret, keep,
+            )
+            dx = jnp.moveaxis(dx.reshape(t, nv, b, c_in), 1, 0)
+            if not in_batched[1]:
+                # x unbatched too: its cotangent sums over the lanes.
+                dx = dx.sum(axis=0)
+            # dwcat/db are already the sum over every row (= over lanes),
+            # exactly the unbatched-primal cotangent; weights are
+            # guaranteed unbatched in this branch.
+            return (
+                (dx, dwcat0, dwcatr, db),
+                (in_batched[1], False, False, False),
+            )
+        if _VBATCH and vbatch_supported(nv, t, b, c_in, hidden, n_layers):
             dx, dwcat0, dwcatr, db = _bwd_pallas_mv(
                 bargs[0], x, bargs[2], bargs[3], bargs[4], bargs[5],
                 bargs[6], masks, compute_dtype, interpret, keep,
@@ -1578,20 +1652,18 @@ def lstm_stack_last_all(
             ])
         else:
             wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
-        if _VBATCH:
-            fn = _merged_stack_fn(
-                jnp.dtype(compute_dtype).name,
-                bool(interpret or _FORCE_INTERPRET),
-                float(keep), masks is not None,
-            )
-            args = (x_tbc, wcat0, wcatr, b2d)
-            if masks is not None:
-                args = args + (masks,)
-            return fn(*args)  # [B, H] last timestep
-        return _stack_pallas_m(
-            x_tbc, wcat0, wcatr, b2d, compute_dtype,
-            interpret or _FORCE_INTERPRET, keep, masks,
-        )  # [B, H] last timestep
+        # Always go through the custom_vmap-wired function: unbatched
+        # calls run the plain merged kernel; vmapped calls route per the
+        # _ROWFOLD/_VBATCH flags above (default: grid-serialized).
+        fn = _merged_stack_fn(
+            jnp.dtype(compute_dtype).name,
+            bool(interpret or _FORCE_INTERPRET),
+            float(keep), masks is not None,
+        )
+        args = (x_tbc, wcat0, wcatr, b2d)
+        if masks is not None:
+            args = args + (masks,)
+        return fn(*args)  # [B, H] last timestep
 
     wx0 = layers[0]["wx"]
     if n_layers > 1:

@@ -194,3 +194,12 @@ def test_dateline_adjacent_box(era5_root, tmp_path):
     np.testing.assert_allclose(region.lons.min(), 355.0)
     np.testing.assert_allclose(region.lons.max(), 359.5)
     assert np.isfinite(region.weather).all()
+
+
+def test_wraparound_box_raises(era5_root, tmp_path):
+    """A box genuinely wrapping the 0/360 meridian (e.g. -10..10) cannot be
+    expressed as one longitude slice; the loader must refuse loudly instead
+    of silently selecting zero columns (round-3 review finding)."""
+    cfg = _cfg(era5_root, tmp_path)
+    with pytest.raises(ValueError, match="wraps the 0/360 meridian"):
+        load_region((12.0, 20.0, -10.0, 10.0), ["2020"], cfg, strict=True)

@@ -210,3 +210,41 @@ def test_fo_meta_grad_through_gcn_kernel(tiny_model_cfg):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a_), rtol=2e-4, atol=1e-6
         )
+
+
+def test_float64_never_takes_fused_path(monkeypatch):
+    """The train kernels accumulate in f32 (preferred_element_type), so the
+    float64 FD-test configuration must route to the layerwise XLA path even
+    under force_interpret (repo matmul rule; round-3 review finding)."""
+    def _boom(*a, **k):
+        raise AssertionError("fused path taken at float64")
+
+    monkeypatch.setattr(fused_gcn_train, "gcn_stack_train", _boom)
+    cfg64 = dataclasses.replace(CFG, compute_dtype="float64")
+    enc, a, x = _setup(3)
+    with jax.enable_x64(True):
+        enc64 = jax.tree.map(lambda v: jnp.asarray(np.asarray(v), jnp.float64), enc)
+        with fused_gcn_train.force_interpret():
+            out = apply_encoder(
+                enc64, jnp.asarray(np.asarray(a), jnp.float64),
+                jnp.asarray(np.asarray(x), jnp.float64), cfg64,
+                train=True, use_pallas=True, rng=jax.random.key(9),
+            )
+    assert out.dtype == jnp.float64
+
+
+def test_grad_with_bfloat16_biases():
+    """custom_vjp cotangent dtypes must match the primals': bf16-cast params
+    previously crashed because db was hardcoded to f32 (round-3 review
+    finding). Only checks the VJP plumbing accepts non-f32 leaves."""
+    enc, a, x = _setup(4)
+    enc16 = jax.tree.map(lambda v: v.astype(jnp.bfloat16), enc)
+    rng = jax.random.key(11)
+
+    def loss(p):
+        return jnp.sum(_fused(p, a, x, rng=rng) ** 2)
+
+    grads = jax.grad(loss)(enc16)
+    flat = jax.tree.leaves(grads)
+    assert all(g.dtype == jnp.bfloat16 for g in flat)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in flat)

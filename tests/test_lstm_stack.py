@@ -273,3 +273,22 @@ def test_fo_meta_grad_through_stack_kernel(tiny_model_cfg):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
         )
+
+
+def test_float64_never_takes_stack_kernel(monkeypatch):
+    """float64 must route to the XLA scan even when kernel="pallas_stack" is
+    forced: the stack kernels accumulate in f32, which would silently
+    truncate the float64 FD-test path (repo matmul rule; round-3 review
+    finding)."""
+    def _boom(*a, **k):
+        raise AssertionError("stack kernel taken at float64")
+
+    monkeypatch.setattr(fused_lstm_stack, "lstm_stack_last_all", _boom)
+    params, x = _setup(70)
+    with jax.enable_x64(True):
+        p64 = jax.tree.map(lambda v: jnp.asarray(np.asarray(v), jnp.float64), params)
+        out = apply_lstm(
+            p64, jnp.asarray(np.asarray(x), jnp.float64),
+            kernel="pallas_stack", compute_dtype=jnp.float64,
+        )
+    assert out.dtype == jnp.float64

@@ -72,6 +72,18 @@ def load_region(
         # spelling such regions (355, 360) directly (main.py "Sahara");
         # accept the natural negative spelling too by restoring the edge.
         lon_max = 360.0
+    if lon_max < lon_min:
+        # e.g. (-10, 10) -> (350, 10): a box genuinely wrapping the 0/360
+        # meridian. slice_coord_dim would silently select ZERO columns, and
+        # the kNN graph's planar lon distances would be wrong at the seam
+        # anyway — refuse loudly instead. (The reference cannot express such
+        # boxes either; all its regions avoid the seam, main.py:7-26.)
+        raise ValueError(
+            f"region '{name or box}': longitude span ({lon_min:g}, "
+            f"{lon_max:g}) wraps the 0/360 meridian; wrap-around boxes are "
+            "not supported — split the region at the meridian into two "
+            "boxes (0-360 spelling)"
+        )
 
     quarter_sets = []
     for year in years:

@@ -236,10 +236,19 @@ def apply_lstm(
 
         b, t, c = x.shape
         hidden = params["layers"][0]["wh"].shape[0]
-        use_stack = kernel == "pallas_stack" or (
-            jax.default_backend() == "tpu"
-            and compute_dtype != jnp.float64
-            and stack_supported(t, b, c, hidden, n_layers)
+        # float64 is excluded even for the forced "pallas_stack" kernel:
+        # the stack kernels accumulate in f32, which would silently
+        # truncate the float64 finite-difference test path (repo matmul
+        # rule) — f64 always runs the XLA scan.
+        use_stack = compute_dtype != jnp.float64 and (
+            kernel == "pallas_stack"
+            or (
+                jax.default_backend() == "tpu"
+                and stack_supported(
+                    t, b, c, hidden, n_layers,
+                    itemsize=jnp.dtype(compute_dtype).itemsize,
+                )
+            )
         )
         if use_stack:
             return lstm_stack_last_all(

@@ -78,10 +78,16 @@ def apply_encoder(
 
         t, n, c_in = x.shape
         hid = params["layers"][0]["w"].shape[1]
-        if fgt._FORCE_INTERPRET or (
-            jax.default_backend() == "tpu"
-            and dtype != jnp.float64
-            and train_supported(t, n, c_in, hid, len(params["layers"]))
+        # float64 is excluded even under force_interpret: the train kernels
+        # accumulate in f32 (preferred_element_type), which would silently
+        # truncate the float64 finite-difference test path (repo matmul
+        # rule) — f64 always takes the layerwise XLA route below.
+        if dtype != jnp.float64 and (
+            fgt._FORCE_INTERPRET
+            or (
+                jax.default_backend() == "tpu"
+                and train_supported(t, n, c_in, hid, len(params["layers"]))
+            )
         ):
             return gcn_stack_train(
                 params["layers"], a_hat, x,

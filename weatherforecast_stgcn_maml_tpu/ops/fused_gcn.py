@@ -222,8 +222,10 @@ def _stack_fits_vmem(weights, n: int, c_in: int) -> bool:
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_stack(weights, biases, a_hat, h, compute_dtype):
-    if jax.default_backend() != "tpu" or not _stack_fits_vmem(
-        weights, h.shape[-2], h.shape[-1]
+    if (
+        jax.default_backend() != "tpu"
+        or jnp.dtype(compute_dtype) == jnp.float64
+        or not _stack_fits_vmem(weights, h.shape[-2], h.shape[-1])
     ):
         # Non-TPU backends, or grids whose adjacency no longer fits VMEM
         # (N >~ 1500 at fp32): XLA path. Beyond-VMEM single-chip serving is

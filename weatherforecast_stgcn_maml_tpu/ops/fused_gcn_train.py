@@ -370,11 +370,11 @@ def _gcn_fwd(x, a_hat, w0, wr, b2d, compute_dtype, interpret, keep, masks):
     h_all = _fwd_pallas(
         x, a_hat, w0, wr, b2d, masks, compute_dtype, interpret, keep
     )
-    return h_all[-1], (x, a_hat, w0, wr, masks, h_all)
+    return h_all[-1], (x, a_hat, w0, wr, b2d, masks, h_all)
 
 
 def _gcn_bwd(compute_dtype, interpret, keep, res, g):
-    x, a_hat, w0, wr, masks, h_all = res
+    x, a_hat, w0, wr, b2d, masks, h_all = res
     dx, dw0, dwr, db = _bwd_pallas(
         g, x, a_hat, w0, wr, masks, h_all, compute_dtype, interpret, keep
     )
@@ -393,7 +393,7 @@ def _gcn_bwd(compute_dtype, interpret, keep, res, g):
         jnp.zeros_like(a_hat),
         dw0.astype(w0.dtype),
         dwr.astype(wr.dtype),
-        db.astype(jnp.float32),
+        db.astype(b2d.dtype),
         dmasks,
     )
 

@@ -546,8 +546,11 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
 def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
                   h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
                   *, n_layers, hidden, has_masks, compute_dtype, keep=1.0):
+    # h_out_ref/c_out_ref are None on the no-grad primal path (no backward
+    # will consume residuals — eval/serving skips the 2*L*T*B*H HBM stream).
     t = pl.program_id(0)
-    res_dtype = h_out_ref.dtype
+    emit_res = h_out_ref is not None
+    res_dtype = h_out_ref.dtype if emit_res else jnp.float32
 
     @pl.when(t == 0)
     def _():
@@ -575,8 +578,9 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
         h = o * jnp.tanh(c)
         h_scr[l] = h
         c_scr[l] = c
-        h_out_ref[l, 0] = h.astype(res_dtype)
-        c_out_ref[l, 0] = c.astype(res_dtype)
+        if emit_res:
+            h_out_ref[l, 0] = h.astype(res_dtype)
+            c_out_ref[l, 0] = c.astype(res_dtype)
         if l == n_layers - 1:
             h_last_ref[:] = h
         if l < n_layers - 1:
@@ -726,6 +730,28 @@ def _fwd_kernel_m_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
     )
 
 
+def _fwd_kernel_m_lastonly(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
+                           h_last_ref, h_scr, c_scr,
+                           *, n_layers, hidden, compute_dtype, keep):
+    _fwd_kernel_m(
+        x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
+        None, None, h_last_ref, h_scr, c_scr,
+        n_layers=n_layers, hidden=hidden, has_masks=True,
+        compute_dtype=compute_dtype, keep=keep,
+    )
+
+
+def _fwd_kernel_m_lastonly_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
+                                  h_last_ref, h_scr, c_scr,
+                                  *, n_layers, hidden, compute_dtype):
+    _fwd_kernel_m(
+        x_ref, wcat0_ref, wcatr_ref, b_ref, None,
+        None, None, h_last_ref, h_scr, c_scr,
+        n_layers=n_layers, hidden=hidden, has_masks=False,
+        compute_dtype=compute_dtype,
+    )
+
+
 def _bwd_kernel_m_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
                          c_prev_ref, wcat0_ref, wcatr_ref, b_ref,
                          dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
@@ -741,7 +767,7 @@ def _bwd_kernel_m_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
 
 
 def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
-                  keep=1.0):
+                  keep=1.0, emit_residuals=True):
     t, b, c_in = x.shape
     n_layers, g4 = b2d.shape
     hidden = g4 // 4
@@ -764,17 +790,42 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
                 memory_space=pltpu.VMEM,
             )
         )
-    out_specs = [
-        pl.BlockSpec(
-            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM),
-    ]
+    res_spec = pl.BlockSpec(
+        (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    last_spec = pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM)
+    args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
+    rd = _res_dtype(compute_dtype)
+    if not emit_residuals:
+        # No-grad primal (eval/serving): skip the 2*L*T*B*H residual stream
+        # entirely — XLA cannot DCE stores inside the opaque kernel, so this
+        # needs its own variant rather than dead outputs.
+        kernel = (
+            functools.partial(
+                _fwd_kernel_m_lastonly, n_layers=n_layers, hidden=hidden,
+                compute_dtype=compute_dtype, keep=keep,
+            )
+            if has_masks
+            else functools.partial(
+                _fwd_kernel_m_lastonly_nomask, n_layers=n_layers,
+                hidden=hidden, compute_dtype=compute_dtype,
+            )
+        )
+        h_last = pl.pallas_call(
+            kernel,
+            grid=(t,),
+            in_specs=in_specs,
+            out_specs=[last_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, hidden), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+                pltpu.VMEM((n_layers, b, hidden), jnp.float32),
+            ],
+            compiler_params=_compiler_params(interpret, 48),
+            interpret=interpret,
+        )(*args)[0]
+        return h_last
     kernel = (
         functools.partial(
             _fwd_kernel_m, n_layers=n_layers, hidden=hidden, has_masks=True,
@@ -786,13 +837,11 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
             compute_dtype=compute_dtype,
         )
     )
-    args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
-    rd = _res_dtype(compute_dtype)
     h_all, c_all, h_last = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=[res_spec, res_spec, last_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
             jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
@@ -1340,7 +1389,8 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
         hidden = g4 // 4
         masks = bargs[4] if has_masks else None
         if _ROWFOLD and not weights_batched and stack_supported(
-            t, nv * b, c_in, hidden, n_layers
+            t, nv * b, c_in, hidden, n_layers,
+            itemsize=compute_dtype.itemsize,
         ):
             # SHARED weights (adaptation window batch): fold the chains into
             # the row dimension — half the dependent dots at double width,
@@ -1381,6 +1431,29 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
         return outs, (True, True, True)
 
     @custom_vmap
+    def fwd_last_call(*args):
+        # No-grad primal: last hidden only, no residual streams.
+        x, wcat0, wcatr, b2d = args[:4]
+        masks = args[4] if has_masks else None
+        return _fwd_pallas_m(
+            x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep,
+            emit_residuals=False,
+        )
+
+    @fwd_last_call.def_vmap
+    def _fwd_last_rule(axis_size, in_batched, *args):
+        # Eval batching: plain grid-serialized vmap of the lastonly kernel
+        # (the rowfold/V-batch folds only matter for training throughput).
+        bargs = _vbcast(axis_size, in_batched, args)
+        out = jax.vmap(
+            lambda *a: _fwd_pallas_m(
+                *a[:4], a[4] if has_masks else None, compute_dtype,
+                interpret, keep, emit_residuals=False,
+            )
+        )(*bargs)
+        return out, True
+
+    @custom_vmap
     def bwd_call(*args):
         g, x, h_all, c_all, wcat0, wcatr, b2d = args[:7]
         masks = args[7] if has_masks else None
@@ -1399,7 +1472,8 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
         hidden = g4 // 4
         masks = bargs[7] if has_masks else None
         if _ROWFOLD and not weights_batched and stack_supported(
-            t, nv * b, c_in, hidden, n_layers
+            t, nv * b, c_in, hidden, n_layers,
+            itemsize=compute_dtype.itemsize,
         ):
             # Shared weights: row-fold, mirroring the fwd rule. dwcat/db
             # come out already summed over every row — i.e. over the chain
@@ -1462,7 +1536,10 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
 
     @jax.custom_vjp
     def stack(*args):
-        return fwd_call(*args)[2]
+        # Primal-only evaluation (no grad taken anywhere): custom_vjp calls
+        # THIS body, not stack_fwd — so eval/serving runs the lastonly
+        # kernel and never streams h/c residuals to HBM.
+        return fwd_last_call(*args)
 
     def stack_fwd(*args):
         h_all, c_all, h_last = fwd_call(*args)
@@ -1488,44 +1565,6 @@ def _merged_stack_fn(dtype_str, interpret, keep, has_masks):
 
     stack.defvjp(stack_fwd, stack_bwd)
     return stack
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _stack_pallas_m(x, wcat0, wcatr, b2d, compute_dtype, interpret, keep,
-                    masks):
-    _, _, h_last = _fwd_pallas_m(
-        x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep
-    )
-    return h_last  # [B, H] top layer at the last timestep (f32)
-
-
-def _stack_fwd_m(x, wcat0, wcatr, b2d, compute_dtype, interpret, keep, masks):
-    h_all, c_all, h_last = _fwd_pallas_m(
-        x, wcat0, wcatr, b2d, masks, compute_dtype, interpret, keep
-    )
-    return h_last, (x, wcat0, wcatr, b2d, masks, h_all, c_all)
-
-
-def _stack_bwd_m(compute_dtype, interpret, keep, res, g):
-    x, wcat0, wcatr, b2d, masks, h_all, c_all = res
-    dx, dwcat0, dwcatr, db = _bwd_pallas_m(
-        g, x, h_all, c_all, wcat0, wcatr, b2d, masks, compute_dtype,
-        interpret, keep,
-    )
-    dx = dx.astype(x.dtype)
-    dwcat0 = dwcat0.astype(wcat0.dtype)
-    dwcatr = dwcatr.astype(wcatr.dtype)
-    db = db.astype(b2d.dtype)
-    # The concat/stack that BUILT wcat0/wcatr is differentiable XLA — JAX
-    # transposes it to split these back into per-layer (dwx, dwh) outside.
-    dmasks = (
-        None if masks is None
-        else np.zeros(masks.shape, dtype=jax.dtypes.float0)
-    )
-    return dx, dwcat0, dwcatr, db, dmasks
-
-
-_stack_pallas_m.defvjp(_stack_fwd_m, _stack_bwd_m)
 
 
 # ---------------------------------------------------------------------------
@@ -1589,8 +1628,11 @@ def stack_supported(t: int, b: int, c_in: int, hidden: int, n_layers: int,
     g4 = 4 * hidden
     weights = (c_in * g4 + (2 * n_layers - 1) * hidden * g4 + n_layers * g4) * 4
     # Backward peak: 6 streamed [*, b, hidden]-ish blocks double-buffered,
-    # plus dx block, plus weight-grad accumulators resident.
-    streamed = b * (c_in + hidden * (4 + n_layers - 1) + hidden + c_in) * 4
+    # plus dx block, plus weight-grad accumulators resident. The streamed
+    # blocks (x, h/c residuals, g, dx) are stored at compute precision
+    # (_res_dtype) — `itemsize` makes the gate ~2x less conservative under
+    # bf16; weight blocks, accumulators, and scratch stay f32.
+    streamed = b * (c_in + hidden * (4 + n_layers - 1) + hidden + c_in) * itemsize
     accum = weights  # same shapes as the weights
     scratch = 2 * n_layers * b * hidden * 4
     return 2 * streamed + weights + accum + scratch <= _VMEM_BUDGET_BYTES

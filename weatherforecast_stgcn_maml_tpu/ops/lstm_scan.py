@@ -310,11 +310,16 @@ def lstm_recurrence(
     """
     t, b, _ = xp.shape
     hidden = wh.shape[0]
-    use_pallas = kernel == "pallas" or (
-        kernel == "auto"
-        and jax.default_backend() == "tpu"
-        and compute_dtype != jnp.float64
-        and pallas_supported(t, b, hidden, jnp.dtype(xp.dtype).itemsize)
+    # float64 excluded even when kernel="pallas" is forced: the recurrence
+    # kernel accumulates in f32, which would silently truncate the float64
+    # finite-difference test path (repo matmul rule).
+    use_pallas = compute_dtype != jnp.float64 and (
+        kernel == "pallas"
+        or (
+            kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and pallas_supported(t, b, hidden, jnp.dtype(xp.dtype).itemsize)
+        )
     )
     if use_pallas:
         return _recurrence_pallas(

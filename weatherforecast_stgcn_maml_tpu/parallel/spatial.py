@@ -97,6 +97,7 @@ def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
             params["lstm"], h,
             compute_dtype=resolve_dtype(model_cfg.compute_dtype),
             unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
+            kernel=model_cfg.lstm_kernel,
         )
         out = apply_dense(
             params["head"], feat,
@@ -147,6 +148,7 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
             dropout_rate=model_cfg.lstm_dropout, train=True, rng=lstm_rng,
             compute_dtype=resolve_dtype(model_cfg.compute_dtype),
             unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
+            kernel=model_cfg.lstm_kernel,
         )
         from weatherforecast_stgcn_maml_tpu.models.common import dropout
 

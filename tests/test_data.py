@@ -193,3 +193,16 @@ def test_shared_field_train_tasks_are_temporally_diverse():
         get_region_data(box_a, ("2020",), cfg0, tag="train").times[0]
         == get_region_data(box_b, ("2020",), cfg0, tag="train").times[0]
     )
+
+
+def test_region_cache_name_canonicalizes_int_float():
+    """Int and float spellings of the same box must share one cache entry;
+    int-spelled boxes keep their historical names (round-3 review finding)."""
+    from weatherforecast_stgcn_maml_tpu.data.region import region_cache_name
+
+    assert region_cache_name(40, 45, 285, 290) == "lat40-45_lon285-290"
+    assert (
+        region_cache_name(40.0, 45.0, 285.0, 290.0)
+        == region_cache_name(40, 45, 285, 290)
+    )
+    assert region_cache_name(40.5, 45, 285, 290) == "lat40.5-45_lon285-290"

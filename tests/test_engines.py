@@ -373,3 +373,31 @@ def test_difficulty_sampler_survives_nan_losses():
     for _ in range(5):
         s.update(s.sample(), np.array([0.5, float("inf")]))
     assert np.isfinite(s.difficulty).all() and len(s.sample()) == 2
+
+
+def test_adapt_lr_schedule_applies_climate_mult_once(trained):
+    """Epoch-2 lr must be base*mult*cosine, not base*mult^2*cosine: the
+    schedule applies the climate multiplier itself, so it must be built
+    from the RAW base lr (round-3 review finding; reference passes the raw
+    base to both factory and scheduler, adaptive_scheduler.py:68-95)."""
+    import json as _json
+
+    cfg, res, _ = trained
+    region = synthetic_region_for_box(BOX_A, num_timesteps=48, seed=5, name="M")
+    run_adaptation(
+        cfg, BOX_A, "Moscow", meta_ckpt=res.best_path, region=region,
+        log_cb=lambda *_: None,
+    )
+    path = os.path.join(cfg.out_dir, "adapt", "Moscow.jsonl")
+    with open(path) as f:
+        recs = [_json.loads(line) for line in f if line.strip()]
+    # Moscow is a cold region (mult 1.1). Epoch 1 trains at the optimizer
+    # init lr = base*mult; epoch 2 at schedule.step(epoch-1 loss).
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import ClimateLRSchedule
+
+    base = cfg.adapt.base_lr
+    assert recs[0]["lr"] == pytest.approx(base * 1.1)
+    expected = ClimateLRSchedule("Moscow", base_lr=base)
+    assert recs[1]["lr"] == pytest.approx(expected.step(recs[0]["loss"]))
+    # The buggy double-multiplied value would be 1.1x this.
+    assert recs[1]["lr"] < base * 1.1 * 1.1 * 0.999

@@ -249,3 +249,22 @@ def test_meta_step_accepts_legacy_prngkey():
     state = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
     _, metrics = step(state, tasks, jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["meta_loss"]))
+
+
+def test_query_batches_zero_does_not_crash():
+    """meta.query_batches=0 must not crash at trace time: the task builder
+    always ships >= 1 query batch (tasks.py max(1, .)), and the query-loss
+    evaluation floors its batch count to match (round-3 review finding)."""
+    cfg0 = dataclasses.replace(META_CFG, query_batches=0)
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.5 + i, 20.0, 20.5), num_timesteps=40, seed=i
+        )
+        for i in range(2)
+    ]
+    built = build_meta_tasks(regions, MODEL_CFG, cfg0, DATA_CFG)
+    tasks = stack_tasks([b.task for b in built])
+    state = init_meta_state(jax.random.key(0), MODEL_CFG, cfg0)
+    step = make_jit_meta_step(MODEL_CFG, cfg0)
+    state, metrics = step(state, tasks, jax.random.key(0))
+    assert np.isfinite(float(metrics["meta_loss"]))

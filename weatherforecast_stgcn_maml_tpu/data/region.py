@@ -33,7 +33,14 @@ def slice_coord_dim(ds, dim: str, lo: float, hi: float):
 
 
 def region_cache_name(lat_min, lat_max, lon_min, lon_max) -> str:
-    """Canonical cache key for a region box (dataLoader.py:135 analogue)."""
+    """Canonical cache key for a region box (dataLoader.py:135 analogue).
+
+    Coordinates are %g-canonicalized so int and float spellings of the same
+    box share one cache entry (same canonicalization as adapted_ckpt_path);
+    int-spelled boxes keep their historical names."""
+    lat_min, lat_max, lon_min, lon_max = (
+        f"{float(v):g}" for v in (lat_min, lat_max, lon_min, lon_max)
+    )
     return f"lat{lat_min}-{lat_max}_lon{lon_min}-{lon_max}"
 
 

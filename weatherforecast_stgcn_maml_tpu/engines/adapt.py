@@ -142,6 +142,19 @@ def _batch_anchors(anchors: np.ndarray, batch_size: int, *, shuffle, rng):
     return padded.reshape(nb, b)
 
 
+def pad_eval_batches(anchors: np.ndarray, batch_size: int) -> np.ndarray:
+    """[S] anchors -> [nb, B] for EXACT per-window eval: the final batch is
+    padded by repeating the LAST anchor (the training loop's wrap-padding
+    would double-count early windows); callers slice the flat losses back
+    to len(anchors) to drop the padding. Shared by the serial and fleet
+    adaptation engines."""
+    a = np.asarray(anchors)
+    b = max(1, min(batch_size, len(a)))
+    nb = -(-len(a) // b)
+    padded = np.concatenate([a, np.full(nb * b - len(a), a[-1])])
+    return padded.reshape(nb, b)
+
+
 def run_adaptation(
     cfg: ExperimentConfig,
     box,
@@ -228,7 +241,13 @@ def run_adaptation(
     tx, lr0, run_epoch, run_eval = _cached_runners(
         model_cfg, spec, region_name, ad.base_lr, ad.clip_norm, params
     )
-    schedule = ClimateLRSchedule(region_name, base_lr=lr0)
+    # The schedule takes the RAW base lr: its step() applies the climate
+    # multiplier itself (train/optimizers.py:132), exactly like the
+    # reference passes the same raw base_lr to both create_climate_optimizer
+    # and ClimateAwareLRScheduler (adaptive_scheduler.py:68-95, :7-66).
+    # Passing lr0 (= base*mult) here would double-apply the multiplier from
+    # epoch 2 on (round-3 review finding).
+    schedule = ClimateLRSchedule(region_name, base_lr=ad.base_lr)
 
     state = SupervisedState(params=params, opt_state=tx.init(params))
     np_rng = np.random.default_rng(ad.seed)
@@ -294,15 +313,11 @@ def run_adaptation(
         anchors = np.asarray(val_anchor_sets[ci])
         if len(anchors) == 0:
             continue
-        b = max(1, min(ad.batch_size, len(anchors)))
-        nb = -(-len(anchors) // b)
-        padded = np.concatenate(
-            [anchors, np.full(nb * b - len(anchors), anchors[-1])]
-        )
         per_window = np.asarray(
             run_eval(
                 state.params, chunk_features(ci),
-                jnp.asarray(padded.reshape(nb, b)), a_hat, node_mask, koppen,
+                jnp.asarray(pad_eval_batches(anchors, ad.batch_size)),
+                a_hat, node_mask, koppen,
             )
         ).reshape(-1)[: len(anchors)]
         total_se += float(per_window.sum())

@@ -40,6 +40,7 @@ from weatherforecast_stgcn_maml_tpu.engines.adapt import (
     _batch_anchors,
     adapt_epoch_rng,
     adapted_ckpt_path,
+    pad_eval_batches,
 )
 from weatherforecast_stgcn_maml_tpu.engines.data_source import get_region_data
 from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
@@ -184,10 +185,13 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
     # Per-region (identical-seed) batch shuffles — matches the serial
     # engine's np_rng stream so fleet == serial numerically.
     np_rngs = [np.random.default_rng(ad.seed) for _ in range(total)]
-    schedules = [ClimateLRSchedule(name, base_lr=lr0) for _, name in group] + [
+    # Raw base lr: ClimateLRSchedule.step applies the climate multiplier
+    # itself — passing lr0 (= base*mult) would double-apply it (same fix
+    # as the serial engine, engines/adapt.py).
+    schedules = [ClimateLRSchedule(name, base_lr=ad.base_lr) for _, name in group] + [
         # One instance per padding lane — sharing one (list multiplication)
         # would advance its epoch counter once per lane per epoch.
-        ClimateLRSchedule(group[0][1], base_lr=lr0)
+        ClimateLRSchedule(group[0][1], base_lr=ad.base_lr)
         for _ in range(total - r)
     ]
     lrs = np.full(total, lr0, np.float32)
@@ -235,14 +239,10 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
 
     # Exact per-window validation (pad final batch, drop pad windows).
     val_anchors = spec.window + val_idx
-    b = max(1, min(ad.batch_size, len(val_anchors)))
-    nb = -(-len(val_anchors) // b)
-    padded = np.concatenate(
-        [val_anchors, np.full(nb * b - len(val_anchors), val_anchors[-1])]
-    )
+    padded = pad_eval_batches(val_anchors, ad.batch_size)
     per_window = np.asarray(run_eval(
         states.params, features_s,
-        jnp.asarray(np.broadcast_to(padded.reshape(nb, b), (total, nb, b))),
+        jnp.asarray(np.broadcast_to(padded, (total,) + padded.shape)),
         a_hat_s, mask_s, kop_s,
     )).reshape(total, -1)[:, : len(val_anchors)]
 

@@ -68,8 +68,14 @@ def _load_regions(cfg: ExperimentConfig, max_workers: int = 4) -> list[RegionDat
 
     def load(i_box):
         i, box = i_box
+        # strict=True: a missing quarter must RAISE (dropping this region via
+        # the isolation below) rather than silently stitch a multi-month time
+        # gap into a nominally hourly-contiguous training tensor — matches
+        # the reference, where a missing file throws out of create_v4_task
+        # and the region is skipped (train_hybrid_maml_v5.py:225-231).
         return get_region_data(
-            box, cfg.data.train_years, cfg.data, tag="train", name=f"region{i}"
+            box, cfg.data.train_years, cfg.data, strict=True,
+            tag="train", name=f"region{i}",
         )
 
     # Deterministic ordering: collect by META_TRAIN_REGIONS index, not by

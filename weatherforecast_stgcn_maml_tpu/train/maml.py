@@ -156,7 +156,10 @@ def adapt_and_query_loss(
 
     # Query evaluation — the reference keeps dropout active here
     # (adapted_model.train(), train_hybrid_maml_v5.py:159).
-    q = min(cfg.query_batches, task.query_x.shape[0])
+    # Floor at 1: the task builder always ships >= 1 query batch
+    # (tasks.py max(1, query_batches)); query_batches=0 would otherwise
+    # crash at trace time in an empty jnp.stack.
+    q = max(1, min(cfg.query_batches, task.query_x.shape[0]))
 
     def query_loss(i):
         q_rng = (

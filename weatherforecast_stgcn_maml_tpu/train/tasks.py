@@ -158,10 +158,19 @@ def stage_tasks(tasks: list[Task], sharding=None) -> Task:
     return jax.tree.map(jax.device_put, stacked)
 
 
+_SELECT_JIT = None
+
+
 def select_tasks(staged: Task, indices) -> Task:
-    """Device-side gather of a task batch from the staged pool."""
+    """Device-side gather of a task batch from the staged pool — ONE jitted
+    dispatch (eager tree.map would issue one op per leaf per epoch through
+    the ~25-30 ms tunnel dispatch floor, CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    idx = jnp.asarray(indices)
-    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), staged)
+    global _SELECT_JIT
+    if _SELECT_JIT is None:
+        _SELECT_JIT = jax.jit(
+            lambda s, i: jax.tree.map(lambda x: jnp.take(x, i, axis=0), s)
+        )
+    return _SELECT_JIT(staged, jnp.asarray(indices))

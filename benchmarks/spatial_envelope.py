@@ -180,7 +180,9 @@ def cpu_mesh(sizes=(1024, 2048, 4096), reps=1) -> dict:
     )
     model_cfg = ModelConfig(compute_dtype="float32")
     mesh = make_mesh(MeshConfig(data_axis="sp", num_devices=8))
-    tx = optax.adam(1e-4)
+    # Preconditioner convention (parallel/spatial.py docstring): the step
+    # applies p - lr*u, so tx must NOT be an lr-scaled stock optimizer.
+    tx = optax.scale_by_adam()
     params = init_model(jax.random.key(0), model_cfg)
     rep_sh = replicated(mesh)
     params = jax.tree.map(lambda v: jax.device_put(v, rep_sh), params)

@@ -122,3 +122,19 @@ def test_disabled_native_returns_none():
     assert not native.normalize_native(
         np.zeros((2, 2), np.float32), np.zeros(2), np.ones(2)
     )
+
+
+def test_gather_windows_rejects_out_of_range_anchor():
+    """The C++ gather memcpy's blindly; the wrapper must refuse anchors that
+    would read out of bounds (round-3 review finding)."""
+    import pytest
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    feats = np.zeros((20, 4, 16), np.float32)
+    with pytest.raises(ValueError, match="anchor out of range"):
+        native.gather_windows_native(feats, np.array([3]), 6, 3, 12)
+    with pytest.raises(ValueError, match="anchor out of range"):
+        native.gather_windows_native(feats, np.array([18]), 6, 3, 12)
+    out = native.gather_windows_native(feats, np.array([6, 16]), 6, 3, 12)
+    assert out is not None

@@ -193,12 +193,12 @@ def test_spatial_paths_pass_lstm_kernel_config(monkeypatch):
     fwd = make_spatial_forward(cfg, mesh)
     fwd(params, a, x, jnp.int32(3))
 
-    step = sp.make_spatial_train_step(cfg, mesh, optax.sgd(1e-3))
+    step = sp.make_spatial_train_step(cfg, mesh, optax.scale_by_adam())
     y = jnp.asarray(
         np.random.default_rng(3).normal(size=(cfg.horizon, 128, 12)), jnp.float32
     )
     mask = jnp.ones(128, jnp.float32)
-    opt_state = optax.sgd(1e-3).init(params)
+    opt_state = optax.scale_by_adam().init(params)
     step(params, opt_state, a, x, y, jnp.int32(3), mask, 1e-3, jax.random.key(0))
 
     assert seen and all(k == "xla" for k in seen)

@@ -198,3 +198,35 @@ def test_async_checkpointer_error_propagates(tmp_path):
     ac.save(str(blocker / "sub"), {"x": np.ones(3)}, {})
     with pytest.raises(RuntimeError, match="async checkpoint write failed"):
         ac.wait()
+
+
+def test_bool_override_typo_raises():
+    """'-o meta.second_order=Ture' must raise, not silently coerce to False
+    (round-3 review finding)."""
+    import pytest
+
+    from weatherforecast_stgcn_maml_tpu.config import (
+        ExperimentConfig,
+        apply_overrides,
+    )
+
+    cfg = apply_overrides(ExperimentConfig(), ["meta.second_order=true"])
+    assert cfg.meta.second_order is True
+    cfg = apply_overrides(ExperimentConfig(), ["meta.second_order=off"])
+    assert cfg.meta.second_order is False
+    with pytest.raises(ValueError, match="boolean override"):
+        apply_overrides(ExperimentConfig(), ["meta.second_order=Ture"])
+
+
+def test_distributed_partial_topology_raises(monkeypatch):
+    """PROCESS_ID alone (coordinator/num-processes unset) must fail loudly
+    instead of silently degrading every host to a duplicate single-process
+    run (round-3 review finding)."""
+    import pytest
+
+    from weatherforecast_stgcn_maml_tpu.parallel.distributed import initialize
+
+    for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(RuntimeError, match="partial multi-process"):
+        initialize(process_id=3)

@@ -74,16 +74,12 @@ def _log_stderr(*args):
 
 
 def _json_safe(obj):
-    """Replace non-finite floats (json.dumps would emit invalid `Infinity`)."""
-    import math
+    """Replace non-finite floats (json.dumps would emit invalid `Infinity`).
+    Delegates to utils.metrics._finite, which also handles numpy scalars;
+    pair with json.dumps(..., default=float) for remaining numpy leaves."""
+    from weatherforecast_stgcn_maml_tpu.utils.metrics import _finite
 
-    if isinstance(obj, dict):
-        return {k: _json_safe(v) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [_json_safe(v) for v in obj]
-    if isinstance(obj, float) and not math.isfinite(obj):
-        return str(obj)
-    return obj
+    return _finite(obj)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -255,7 +251,7 @@ def main(argv=None) -> int:
         res = run_validation(
             cfg, box, name, make_plots=not args.no_plots, log_cb=_log_stderr
         )
-        print(json.dumps(_json_safe(res.results), indent=2))
+        print(json.dumps(_json_safe(res.results), indent=2, default=float))
         return 0
 
     if args.command == "forecast":

@@ -392,7 +392,14 @@ def apply_overrides(cfg: Any, overrides: Sequence[str]) -> Any:
 
 def _coerce(raw: str, current: Any) -> Any:
     if isinstance(current, bool):
-        return raw.lower() in ("1", "true", "yes", "on")
+        low = raw.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        # Typos must not silently flip a flag off ("-o meta.second_order=Ture"
+        # training first-order while the user believes SO is on).
+        raise ValueError(f"boolean override expects true/false, got {raw!r}")
     if isinstance(current, int):
         return int(raw)
     if isinstance(current, float):

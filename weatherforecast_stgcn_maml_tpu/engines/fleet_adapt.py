@@ -47,6 +47,7 @@ from weatherforecast_stgcn_maml_tpu.graph import build_region_graph
 from weatherforecast_stgcn_maml_tpu.parallel.fleet_mesh import (
     make_fleet_epoch_runner,
     make_fleet_eval,
+    pad_fleet,
     stack_fleet,
 )
 from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh
@@ -170,7 +171,7 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
     ]
     states, _ = stack_fleet(states, mesh, cfg.mesh.data_axis)
     # Pad the region axis to the mesh size with lane-0 copies.
-    total = -(-r // mesh.devices.size) * mesh.devices.size
+    total = pad_fleet(r, mesh)
 
     def pad_r(x):
         reps = np.concatenate([x, np.repeat(x[:1], total - r, axis=0)]) \

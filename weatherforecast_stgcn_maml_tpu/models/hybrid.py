@@ -113,7 +113,7 @@ def apply_hybrid(
                 params["lstm"], h,
                 dropout_rate=cfg.lstm_dropout, train=train, rng=lstm_rng,
                 compute_dtype=dtype,
-                unroll=cfg.lstm_unroll if cfg.lstm_unroll > 0 else cfg.window,
+                unroll=cfg.lstm_unroll,  # 0 = full (normalized in apply_lstm)
                 kernel=cfg.lstm_kernel,
             )  # [N, lstm_hidden]
     feat = dropout(feat, cfg.lstm_dropout, head_rng, train=train)

@@ -105,12 +105,9 @@ def apply_lstm_wavefront(
     layers = params["layers"]
     n_layers = len(layers)
     if n_layers == 1:
-        # apply_lstm has no "0 = full unroll" convention — translate here
-        # (x is [B, T, C], so full unroll = T).
         return apply_lstm(
             params, x, dropout_rate=dropout_rate, train=train, rng=rng,
-            compute_dtype=compute_dtype,
-            unroll=unroll if unroll > 0 else x.shape[1],
+            compute_dtype=compute_dtype, unroll=unroll,
         )
     x_tbc = jnp.swapaxes(x, 0, 1)  # [T, B, C]
     t_len, b, _ = x_tbc.shape
@@ -227,6 +224,11 @@ def apply_lstm(
     (torch.nn.LSTM semantics when num_layers > 1); the fused-stack path
     draws bit-identical masks from the same fold_in(rng, l) streams.
     """
+    if unroll <= 0:
+        # "0 = full unroll" convention (cfg.lstm_unroll) normalized HERE so
+        # call sites can pass the config value straight through; x is
+        # [B, T, C], so full unroll = T.
+        unroll = x.shape[1]
     n_layers = len(params["layers"])
     if kernel in ("auto", "pallas_stack"):
         from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_stack import (

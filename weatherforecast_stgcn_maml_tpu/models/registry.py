@@ -29,11 +29,14 @@ _FAMILIES = {
 
 def init_model(key, cfg: ModelConfig):
     try:
-        return _FAMILIES[cfg.family][0](key, cfg)
+        # Lookup only — an internal KeyError from a valid family's init
+        # must not be misreported as "unknown family".
+        init_fn = _FAMILIES[cfg.family][0]
     except KeyError:
         raise ValueError(
             f"unknown model family {cfg.family!r}; known: {sorted(_FAMILIES)}"
         ) from None
+    return init_fn(key, cfg)
 
 
 def apply_model(params, a_hat, x, koppen_code, cfg: ModelConfig, *, train=False, rng=None):

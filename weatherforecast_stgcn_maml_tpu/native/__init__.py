@@ -156,6 +156,15 @@ def gather_windows_native(
     t, n, c = f.shape
     a = _i64(anchors)
     s = len(a)
+    if s and (a.min() < window or a.max() + horizon >= t):
+        # The C++ gather memcpy's blindly; an out-of-range anchor would read
+        # out-of-bounds memory and silently corrupt training data where the
+        # numpy fallback raises and the jit path clamps. Fail loudly here.
+        raise ValueError(
+            f"anchor out of range: need window <= a <= T-1-horizon "
+            f"(window={window}, horizon={horizon}, T={t}, "
+            f"anchors [{a.min()}, {a.max()}])"
+        )
     x = np.empty((s, window, n, c), np.float32)
     y = np.empty((s, horizon, n, y_channels), np.float32)
     _load().wf_gather_windows(

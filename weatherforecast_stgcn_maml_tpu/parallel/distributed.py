@@ -34,7 +34,9 @@ def initialize(
 
     Returns True when distributed mode was initialized. With no arguments
     and no `COORDINATOR_ADDRESS`/`NUM_PROCESSES`/`PROCESS_ID` env vars this
-    is a no-op returning False (single-process run).
+    is a no-op returning False (single-process run). A PARTIAL topology
+    (some but not all of the three set) raises RuntimeError instead of
+    silently degrading to N duplicate single-process runs.
     """
     import jax
 
@@ -46,8 +48,24 @@ def initialize(
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
 
-    if coordinator_address is None and num_processes is None:
-        return False
+    configured = {
+        "COORDINATOR_ADDRESS": coordinator_address,
+        "NUM_PROCESSES": num_processes,
+        "PROCESS_ID": process_id,
+    }
+    if all(v is None for v in configured.values()):
+        return False  # true single-process run
+    missing = [k for k, v in configured.items() if v is None]
+    if missing:
+        # A PARTIALLY configured launch must fail loudly: silently falling
+        # back to single-process mode would make every host adapt ALL
+        # regions and clobber each other's checkpoints on shared storage.
+        raise RuntimeError(
+            f"partial multi-process configuration: {missing} unset while "
+            f"{[k for k, v in configured.items() if v is not None]} set — "
+            "export all of COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID "
+            "(or none, for a single-process run)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -13,8 +13,8 @@ wall-clock of ceil(18/8) = 3 regions.
 Shapes: all regions are padded to one node count (graph.py) and must share
 the feature length T (true for the synthetic backend and for ERA5 regions
 loaded over the same years). A fleet whose R is not divisible by the mesh
-size is padded with copies of region 0; `pad_fleet`/`unpad_fleet` handle
-this and results for padding slots are dropped.
+size is padded with copies of region 0; `pad_fleet` handles this (it
+returns the real count so callers drop the padding slots' results).
 
 The per-region learning rate is a traced `[R]` vector: each region keeps
 its own host-side ClimateLRSchedule (adaptive_scheduler.py semantics)

@@ -96,7 +96,7 @@ def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
         feat = apply_lstm(
             params["lstm"], h,
             compute_dtype=resolve_dtype(model_cfg.compute_dtype),
-            unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
+            unroll=model_cfg.lstm_unroll,  # 0 = full (normalized in apply_lstm)
             kernel=model_cfg.lstm_kernel,
         )
         out = apply_dense(
@@ -125,6 +125,13 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
     Returns `step(params, opt_state, a_hat, x, y, koppen, mask, lr, rng)
     -> (params, opt_state, loss)`; a_hat rows / x / y / mask are sharded
     along `axis` by the jit's sharding constraints.
+
+    `tx` follows the same convention as train/supervised.py: a chain ending
+    in `scale_by_adam` (or similar) emitting a preconditioned ASCENT
+    direction; the step applies `params -= lr * u`. Do NOT pass a stock
+    lr-scaled optimizer like `optax.adam(lr)` (its updates are already
+    negated descent steps meant for `optax.apply_updates` — here they would
+    invert into gradient ascent).
     """
 
     def local_fwd(params, a_rows, x_local, koppen, rng):
@@ -147,7 +154,7 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
             params["lstm"], h,
             dropout_rate=model_cfg.lstm_dropout, train=True, rng=lstm_rng,
             compute_dtype=resolve_dtype(model_cfg.compute_dtype),
-            unroll=model_cfg.lstm_unroll or model_cfg.window,  # 0 = full
+            unroll=model_cfg.lstm_unroll,  # 0 = full (normalized in apply_lstm)
             kernel=model_cfg.lstm_kernel,
         )
         from weatherforecast_stgcn_maml_tpu.models.common import dropout

@@ -90,14 +90,17 @@ def adapt_and_query_loss(
     meta-gradient (exact for second_order=True, first-order otherwise).
     """
     if cfg.second_order and (
-        model_cfg.lstm_kernel != "xla" or model_cfg.use_pallas_gcn
+        model_cfg.lstm_kernel != "xla"
+        or model_cfg.use_pallas_gcn
+        or model_cfg.use_pallas_lstm
     ):
         # The fused Pallas kernels (LSTM recurrence/stack, GCN train stack,
-        # eval GCN stack) are custom VJPs — first-order differentiable
-        # only. Grad-of-grad through the inner loop needs the
-        # twice-differentiable XLA paths.
+        # eval GCN stack, eval LSTM) are custom VJPs — first-order
+        # differentiable only. Grad-of-grad through the inner loop needs
+        # the twice-differentiable XLA paths.
         model_cfg = dataclasses.replace(
-            model_cfg, lstm_kernel="xla", use_pallas_gcn=False
+            model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
+            use_pallas_lstm=False,
         )
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support

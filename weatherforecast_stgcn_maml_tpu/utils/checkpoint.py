@@ -89,9 +89,22 @@ class AsyncCheckpointer:
         import jax.numpy as jnp
 
         self.wait()
+        # Snapshot EVERY mutable input before handing off to the thread:
+        # device arrays via jnp.copy (async, rides under compute), host
+        # numpy leaves via np.copy, and the meta dict itself — the caller
+        # may mutate any of them (difficulty EMAs, sampler state) while the
+        # background write is in flight.
+        import copy as _copy
+
+        import numpy as _np
+
         snapshot = jax.tree.map(
-            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, arrays
+            lambda x: jnp.copy(x)
+            if isinstance(x, jax.Array)
+            else (_np.copy(x) if isinstance(x, _np.ndarray) else x),
+            arrays,
         )
+        meta = _copy.deepcopy(meta)
 
         def _write():
             try:

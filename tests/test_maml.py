@@ -268,3 +268,16 @@ def test_query_batches_zero_does_not_crash():
     step = make_jit_meta_step(MODEL_CFG, cfg0)
     state, metrics = step(state, tasks, jax.random.key(0))
     assert np.isfinite(float(metrics["meta_loss"]))
+
+
+def test_sampler_survives_zero_difficulties():
+    """Zero query losses on most tasks must not crash Generator.choice
+    (replace=False needs >= batch_size positive-probability entries;
+    round-3 review finding)."""
+    from weatherforecast_stgcn_maml_tpu.train.sampling import DifficultySampler
+
+    s = DifficultySampler(5, 4, seed=0)
+    s.update(np.arange(5), np.array([1.0, 0.0, 0.0, 0.0, 0.0]))
+    for _ in range(3):
+        idx = s.sample()
+        assert len(idx) == 4 and len(set(idx.tolist())) == 4

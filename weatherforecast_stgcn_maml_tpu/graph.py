@@ -68,6 +68,15 @@ def knn_edges(positions: np.ndarray, k: int = 4) -> np.ndarray:
     return np.stack([src, dst], axis=-1)
 
 
+def _sym_normalize(a: np.ndarray) -> np.ndarray:
+    """D^-1/2 A D^-1/2 symmetric normalization; zero-degree rows (padding)
+    stay all-zero. Shared by both graph builders so the epsilon/isolation
+    policy cannot diverge."""
+    deg = a.sum(axis=1)
+    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    return inv_sqrt[:, None] * a * inv_sqrt[None, :]
+
+
 def normalized_adjacency(
     edges: np.ndarray,
     num_nodes: int,
@@ -103,10 +112,7 @@ def normalized_adjacency(
         a[e[:, 1], e[:, 0]] = 1.0
     if add_self_loops:
         a[np.arange(n), np.arange(n)] = a[np.arange(n), np.arange(n)] + 1.0
-    deg = a.sum(axis=1)
-    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
-    a_hat = inv_sqrt[:, None] * a * inv_sqrt[None, :]
-    return a_hat.astype(dtype)
+    return _sym_normalize(a).astype(dtype)
 
 
 @dataclass(frozen=True)
@@ -182,10 +188,8 @@ def build_distance_weighted_graph(
     with np.errstate(divide="ignore"):
         w = np.where((d > 0) & (d < distance_threshold), 1.0 / d, 0.0)
     w = w + np.eye(n)
-    deg = w.sum(axis=1)
-    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
     a_hat = np.zeros((size, size), dtype=np.float32)
-    a_hat[:n, :n] = (inv_sqrt[:, None] * w * inv_sqrt[None, :]).astype(np.float32)
+    a_hat[:n, :n] = _sym_normalize(w).astype(np.float32)
 
     mask = np.zeros((size,), dtype=np.float32)
     mask[:n] = 1.0

@@ -38,6 +38,12 @@ class DifficultySampler:
             d = self.difficulty.copy()
             mean_seen = d[self.seen].mean()
             d[~self.seen] = mean_seen
+            if np.count_nonzero(d) < self.batch_size:
+                # Fewer positive-probability entries than the batch needs
+                # (e.g. query losses collapsed to 0 on degenerate regions):
+                # Generator.choice(replace=False) would crash. Blend in a
+                # uniform floor so every task stays sampleable.
+                d = d + max(d.sum(), 1.0) / self.num_tasks
             probs = d / d.sum()
         return self._rng.choice(
             self.num_tasks, size=self.batch_size, replace=False, p=probs

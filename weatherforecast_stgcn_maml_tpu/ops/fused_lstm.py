@@ -15,10 +15,11 @@ Eval/serving path only (no inter-layer dropout — the training path keeps
 the XLA scan). Backward falls back to differentiating the XLA
 implementation (custom VJP), so the op is still safe under `jax.grad`.
 
-VMEM budget per program at reference scale (tile=128, T=24, C=256, H=128):
-input tile 3.1 MB + x_proj scratch 1.6 MB + layer-out scratch 1.6 MB +
-weights ~1.1 MB -> ~8 MB, under the ~16 MB/core budget. `fits_vmem` guards
-larger shapes back to XLA.
+VMEM budget per program at reference scale (`_TILE`=64, T=24, C=256,
+H=128): input tile 1.6 MB + x_proj scratch 0.8 MB + layer-out scratch
+0.8 MB + weights ~1.1 MB -> ~4.3 MB, under `_VMEM_BUDGET_BYTES` (12 MiB,
+below Mosaic's 16 MiB default scoped cap). `fits_vmem` guards larger or
+misaligned shapes back to XLA.
 """
 
 from __future__ import annotations
@@ -43,6 +44,12 @@ def _layer_dims(params):
 
 def fits_vmem(params, t: int) -> bool:
     layers, c_in, hidden = _layer_dims(params)
+    # Mosaic lane alignment: the kernel's gates[:, k*hidden:(k+1)*hidden]
+    # slices and [TILE, T, hidden] scratches need 128-lane-aligned hidden
+    # (same gate as lstm_scan.pallas_supported / stack_supported) — route
+    # misaligned shapes back to XLA instead of failing in the compiler.
+    if hidden % 128 or c_in % 128:
+        return False
     weights = sum(
         (l["wx"].size + l["wh"].size + l["b"].size) * 4 for l in layers
     )
@@ -164,7 +171,11 @@ def _xla_forward(params, x, compute_dtype):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fused_lstm(params, x, compute_dtype):
-    if jax.default_backend() != "tpu" or not fits_vmem(params, x.shape[1]):
+    if (
+        jax.default_backend() != "tpu"
+        or jnp.dtype(compute_dtype) == jnp.float64
+        or not fits_vmem(params, x.shape[1])
+    ):
         return _xla_forward(params, x, compute_dtype)
     return _pallas_forward(params, x, compute_dtype)
 

@@ -70,7 +70,11 @@ class force_interpret:
 
 
 def _acc(compute_dtype):
-    return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+    # Single source of truth for the accumulation-dtype policy (CLAUDE.md
+    # matmul rule) — do not re-derive it here.
+    from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype
+
+    return accum_dtype(compute_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -43,9 +43,12 @@ def trace_span(log_dir: str | None):
 
 
 def block_until_ready(tree):
+    """Pytree-aware completion barrier (delegates to jax.block_until_ready).
+
+    NOT sufficient for TIMING on this image: block_until_ready has been
+    observed returning early through the axon tunnel (CLAUDE.md) — timed
+    code must force a value fetch (np.asarray) instead. Use this only for
+    warmup/synchronization."""
     import jax
 
-    for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
-    return tree
+    return jax.block_until_ready(tree)

@@ -95,16 +95,43 @@ def model_config_from_checkpoint(ckpt: dict) -> ModelConfig:
     )
 
 
-def import_torch_checkpoint(path: str):
+def import_torch_checkpoint(path: str, *, allow_unsafe_pickle: bool = False):
     """Load a reference .pt checkpoint -> (params, ModelConfig, NormStats|None, meta).
 
-    Requires torch (CPU build is enough).
+    Requires torch (CPU build is enough). Loads with torch's safe
+    `weights_only=True` by default (the reference schema is tensors + plain
+    dicts + numpy stats, train_hybrid_maml_v5.py:311-335); a checkpoint
+    needing arbitrary pickle execution is refused unless the caller
+    explicitly opts in with `allow_unsafe_pickle=True` for a TRUSTED file.
     """
     import dataclasses
 
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if allow_unsafe_pickle:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        try:
+            import numpy as _np
+
+            # The reference's adapted checkpoints store numpy stats
+            # arrays/scalars; allowlist exactly the numpy reconstruction
+            # machinery (arrays, dtypes, scalar rebuild) and nothing else.
+            _ma = _np._core.multiarray
+            safe = [_np.ndarray, _np.dtype, _ma._reconstruct, _ma.scalar]
+            safe += [
+                getattr(_np.dtypes, n)
+                for n in dir(_np.dtypes)
+                if n.endswith("DType")
+            ]
+            with torch.serialization.safe_globals(safe):
+                ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as e:
+            raise RuntimeError(
+                f"safe (weights_only) load of {path!r} failed: {e}\n"
+                "If you trust this file, retry with "
+                "allow_unsafe_pickle=True (executes pickle bytecode)."
+            ) from e
     cfg = model_config_from_checkpoint(ckpt)
     hybrid_state = ckpt["hybrid_model_state_dict"]
     koppen_state = ckpt["koppen_embed_state_dict"]

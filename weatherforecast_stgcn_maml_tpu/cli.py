@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     imp.add_argument("path", help="reference .pt checkpoint")
     imp.add_argument(
+        "--allow-unsafe-pickle", action="store_true",
+        help="load with full pickle (executes arbitrary bytecode) — only "
+        "for TRUSTED files that torch's safe weights_only load rejects",
+    )
+    imp.add_argument(
         "--out",
         help="output checkpoint dir (default: out/meta/ckpt_best, or the "
         "region's adapted-checkpoint path with --region/--box)",
@@ -268,7 +273,9 @@ def main(argv=None) -> int:
             import_torch_checkpoint,
         )
 
-        params, model_cfg, stats, meta = import_torch_checkpoint(args.path)
+        params, model_cfg, stats, meta = import_torch_checkpoint(
+            args.path, allow_unsafe_pickle=args.allow_unsafe_pickle
+        )
         common = {
             "model_version": str(meta.get("model_version", "imported")),
             "imported_from": args.path,

@@ -401,3 +401,17 @@ def test_adapt_lr_schedule_applies_climate_mult_once(trained):
     assert recs[1]["lr"] == pytest.approx(expected.step(recs[0]["loss"]))
     # The buggy double-multiplied value would be 1.1x this.
     assert recs[1]["lr"] < base * 1.1 * 1.1 * 0.999
+
+
+def test_pad_eval_batches_exact_coverage():
+    """Final batch pads with the LAST anchor (never wraps); flat slice of
+    the first len(anchors) losses is exactly one loss per window."""
+    from weatherforecast_stgcn_maml_tpu.engines.adapt import pad_eval_batches
+
+    out = pad_eval_batches(np.array([5, 6, 7, 8, 9]), 2)
+    assert out.shape == (3, 2)
+    assert out.reshape(-1)[:5].tolist() == [5, 6, 7, 8, 9]
+    assert out[-1, -1] == 9  # padding repeats the last anchor
+    # batch >= len: single batch, no wrap
+    out = pad_eval_batches(np.array([4, 5]), 8)
+    assert out.shape == (1, 2)

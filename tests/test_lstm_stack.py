@@ -292,3 +292,23 @@ def test_float64_never_takes_stack_kernel(monkeypatch):
             kernel="pallas_stack", compute_dtype=jnp.float64,
         )
     assert out.dtype == jnp.float64
+
+
+def test_nograd_primal_skips_residuals(monkeypatch):
+    """The custom_vjp primal (no grad anywhere) must run the lastonly
+    kernel (emit_residuals=False) — eval/serving pays no residual HBM
+    stream; the grad path still emits residuals (round-3 review fix)."""
+    calls = []
+    real = fused_lstm_stack._fwd_pallas_m
+
+    def spy(*a, **k):
+        calls.append(k.get("emit_residuals", True))
+        return real(*a, **k)
+
+    monkeypatch.setattr(fused_lstm_stack, "_fwd_pallas_m", spy)
+    params, x = _setup(80)
+    _stack(params, x)  # primal-only call
+    assert calls and all(c is False for c in calls)
+    calls.clear()
+    jax.grad(lambda p: jnp.sum(_stack(p, x)))(params)
+    assert calls and any(c is True for c in calls)

@@ -281,3 +281,39 @@ def test_sampler_survives_zero_difficulties():
     for _ in range(3):
         idx = s.sample()
         assert len(idx) == 4 and len(set(idx.tolist())) == 4
+
+
+def test_chained_meta_step_matches_sequential():
+    """k fused epochs in one dispatch must be BIT-identical to k sequential
+    single-dispatch epochs fed the same task indices (the chained path
+    derives each epoch's key with the same fold_in(base_key, epoch))."""
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        make_jit_chained_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import select_tasks
+
+    built = _tasks(n=3)
+    pool = stack_tasks([b.task for b in built])
+    base_key = jax.random.key(7)
+    idx_k = np.array([[0, 2], [2, 1], [1, 0]], np.int32)
+
+    seq = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
+    step = make_jit_meta_step(MODEL_CFG, META_CFG)
+    seq_losses = []
+    for e in range(3):
+        seq, m = step(
+            seq, select_tasks(pool, idx_k[e]), jax.random.fold_in(base_key, e)
+        )
+        seq_losses.append(np.asarray(m["per_task_loss"]))
+
+    ch = init_meta_state(jax.random.key(0), MODEL_CFG, META_CFG)
+    chained = make_jit_chained_meta_step(MODEL_CFG, META_CFG)
+    ch, mk = chained(ch, pool, idx_k, base_key, np.arange(3, dtype=np.int32))
+
+    assert mk["per_task_loss"].shape == (3, 2)
+    np.testing.assert_array_equal(
+        np.stack(seq_losses), np.asarray(mk["per_task_loss"])
+    )
+    for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(ch.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ch.step) == int(seq.step)

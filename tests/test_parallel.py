@@ -125,3 +125,46 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 512, 12)
     ge.dryrun_multichip(8)
+
+
+def test_chained_meta_step_dp_matches_single_device():
+    """The k-epochs-per-dispatch chained step under a dp mesh must match
+    the single-device chained step (same pool, indices, base key)."""
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        make_jit_chained_meta_step,
+    )
+
+    meta_cfg = MetaConfig(
+        meta_batch=4,
+        grad_accum=1,
+        inner_epochs=1,
+        inner_batches=2,
+        query_train_mode=False,
+        epochs_per_dispatch=2,
+    )
+    pool = _build(meta_cfg)  # 4 tasks staged
+    pool = jax.tree.map(jnp.asarray, pool)
+    idx_k = np.array([[0, 1, 2, 3], [3, 1, 0, 2]], np.int32)
+    epochs = np.arange(2, dtype=np.int32)
+    base_key = jax.random.key(11)
+
+    s0 = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    single = make_jit_chained_meta_step(MODEL_CFG, meta_cfg)
+    s1, m1 = single(s0, pool, idx_k, base_key, epochs)
+
+    mesh = make_mesh(MeshConfig(num_devices=4))
+    s0b = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    par = make_jit_chained_meta_step(MODEL_CFG, meta_cfg, mesh=mesh)
+    s2, m2 = par(s0b, pool, idx_k, base_key, epochs)
+
+    assert m2["per_task_loss"].shape == (2, 4)
+    np.testing.assert_allclose(
+        np.asarray(m1["per_task_loss"]),
+        np.asarray(m2["per_task_loss"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

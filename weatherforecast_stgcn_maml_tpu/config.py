@@ -239,6 +239,18 @@ class MetaConfig:
     # a meta step (physical floor ~0.12 s/step at bf16 peak — see bench.py's
     # flops_per_meta_step), so per-epoch saves would dominate wall-clock.
     checkpoint_every: int = 5
+    # Meta epochs fused into ONE compiled dispatch (lax.scan over full meta
+    # steps with a device-side task gather — train/maml.py
+    # make_chained_meta_step). Each host round-trip costs a ~25-30 ms
+    # dispatch floor + a metrics fetch (~34 ms fixed per epoch measured,
+    # benchmarks/meta_decomp_probe.json) — ~10% of a 0.27 s step — so
+    # chaining k epochs amortizes that k-fold. Tradeoffs at k>1: the
+    # difficulty sampler updates once per chunk (within a chunk it samples
+    # from difficulties up to k-1 epochs stale) and best/last checkpoint
+    # decisions happen at chunk boundaries from the chunk-end loss
+    # (intermediate epoch params are never materialized on host). k=1 is
+    # the exact reference-cadence behavior.
+    epochs_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -265,16 +265,45 @@ def run_meta_training(
         AsyncCheckpointer,
     )
 
+    # Epochs fused per dispatch: k>1 runs whole chunks of meta epochs as
+    # ONE compiled program (train/maml.py make_chained_meta_step),
+    # amortizing the ~25-30 ms tunnel dispatch floor + metrics fetch that
+    # per-epoch dispatch pays (~34 ms fixed/epoch measured,
+    # benchmarks/meta_decomp_probe.json). Within a chunk the difficulty
+    # sampler draws from difficulties up to k-1 epochs stale, and best/last
+    # checkpoints are decided at chunk boundaries from the chunk-end state
+    # (intermediate params are never on host). k=1 preserves the exact
+    # per-epoch reference cadence.
+    k_cfg = max(1, int(meta_cfg.epochs_per_dispatch))
+    chained_step = None
+    if k_cfg > 1:
+        from weatherforecast_stgcn_maml_tpu.train.maml import (
+            make_jit_chained_meta_step,
+        )
+
+        chained_step = make_jit_chained_meta_step(
+            model_cfg, meta_cfg, mesh=mesh,
+            axis=cfg.mesh.data_axis if mesh is not None else "dp",
+        )
+    base_key = make_key(meta_cfg.seed + 1, meta_cfg.rng_impl)
+
     async_ckpt = AsyncCheckpointer()
     loss = float("nan")
-    for epoch in range(start_epoch, meta_cfg.num_epochs):
+    epoch = start_epoch
+    while epoch < meta_cfg.num_epochs:
+        kk = min(k_cfg, meta_cfg.num_epochs - epoch)
         t0 = time.perf_counter()
-        idx = sampler.sample()
-        tasks = select_tasks(staged, idx)
-        state, metrics = meta_step(
-            state, tasks,
-            jax.random.fold_in(make_key(meta_cfg.seed + 1, meta_cfg.rng_impl), epoch),
-        )
+        idx_k = np.stack([sampler.sample() for _ in range(kk)])
+        if kk == 1:
+            tasks = select_tasks(staged, idx_k[0])
+            state, metrics = meta_step(
+                state, tasks, jax.random.fold_in(base_key, epoch)
+            )
+        else:
+            state, metrics = chained_step(
+                state, staged, idx_k.astype(np.int32),
+                base_key, np.arange(epoch, epoch + kk, dtype=np.int32),
+            )
         # ONE batched device->host fetch: separate np.asarray/float() calls
         # each pay the tunnel's ~25-30 ms dispatch floor — 3 sequential
         # fetches cost ~0.1 s/epoch on top of a 0.49 s step.
@@ -282,27 +311,43 @@ def run_meta_training(
             (metrics["meta_loss"], metrics["per_task_loss"],
              metrics["learning_rate"])
         )
-        sampler.update(idx, per_task)
-        loss = float(loss_arr)
-        lr = float(lr_arr)
         dt = time.perf_counter() - t0
+        # Normalize to stacked [kk, ...] metrics so both paths log the same.
+        loss_k = np.reshape(np.asarray(loss_arr), (kk,))
+        per_task_k = np.reshape(np.asarray(per_task), (kk, -1))
+        lr_k = np.reshape(np.asarray(lr_arr), (kk,))
 
-        csv.log(epoch=epoch + 1, meta_loss=loss, learning_rate=lr)
-        jsonl.log(
-            {
-                "epoch": epoch + 1,
-                "meta_loss": loss,
-                "learning_rate": lr,
-                "per_task_loss": per_task.tolist(),
-                "task_indices": np.asarray(idx).tolist(),
-                "epoch_seconds": dt,
+        for j in range(kk):
+            e = epoch + j
+            sampler.update(idx_k[j], per_task_k[j])
+            csv.log(
+                epoch=e + 1, meta_loss=float(loss_k[j]),
+                learning_rate=float(lr_k[j]),
+            )
+            rec = {
+                "epoch": e + 1,
+                "meta_loss": float(loss_k[j]),
+                "learning_rate": float(lr_k[j]),
+                "per_task_loss": per_task_k[j].tolist(),
+                "task_indices": np.asarray(idx_k[j]).tolist(),
+                "epoch_seconds": dt / kk,
             }
-        )
+            if kk > 1:
+                rec["dispatch_epochs"] = kk
+            jsonl.log(rec)
+        loss = float(loss_k[-1])
+        lr = float(lr_k[-1])
+        last_epoch = epoch + kk - 1
         log_cb(
-            f"[meta-train] epoch {epoch + 1}/{meta_cfg.num_epochs} "
-            f"loss {loss:.4f} lr {lr:.6f} ({dt:.2f}s)"
+            f"[meta-train] epoch {last_epoch + 1}/{meta_cfg.num_epochs} "
+            f"loss {loss:.4f} lr {lr:.6f} ({dt:.2f}s"
+            + (f", {kk} epochs/dispatch)" if kk > 1 else ")")
         )
 
+        # Checkpoint decisions use the CHUNK-END loss/state: with kk>1 the
+        # params that achieved an intermediate epoch's loss no longer exist
+        # by fetch time, and saving chunk-end params under a better
+        # intermediate loss would mislabel the checkpoint.
         if loss < best_loss:
             best_loss = loss
             # Async: the device-side snapshot is taken now, but the ~1 s
@@ -310,17 +355,18 @@ def run_meta_training(
             async_ckpt.save(
                 best_path,
                 {"params": state.params, "opt_state": state.opt_state},
-                ckpt_meta(epoch, loss),
+                ckpt_meta(last_epoch, loss),
             )
         if (
-            (epoch + 1) % max(1, meta_cfg.checkpoint_every) == 0
-            or epoch == meta_cfg.num_epochs - 1
+            (last_epoch + 1) % max(1, meta_cfg.checkpoint_every) < kk
+            or last_epoch == meta_cfg.num_epochs - 1
         ):
             async_ckpt.save(
                 last_path,
                 {"params": state.params, "opt_state": state.opt_state},
-                ckpt_meta(epoch, loss),
+                ckpt_meta(last_epoch, loss),
             )
+        epoch += kk
 
     async_ckpt.wait()  # everything durable before the final (sync) save
     save_checkpoint(

@@ -251,3 +251,74 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"
 
 def make_jit_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
     return jax.jit(make_meta_step(model_cfg, cfg), donate_argnums=(0,))
+
+
+def make_chained_meta_step(
+    model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis: str = "dp"
+):
+    """Chain k meta steps into ONE compiled dispatch.
+
+    Every host round-trip through the tunnel costs a ~25-30 ms dispatch
+    floor plus a metrics fetch (benchmarks/meta_decomp_probe.json measures
+    the fixed overhead at ~34 ms against a ~0.27 s step) — per-epoch
+    dispatch taxes meta-training ~10%. The returned callable
+
+        chained(state, pool, idx_k, base_key, epochs_k) -> (state, metrics_k)
+
+    runs `k = idx_k.shape[0]` full meta epochs inside one `lax.scan`:
+    each scanned step gathers its task batch from the HBM-staged `pool`
+    (device-side `jnp.take`, exactly `train.tasks.select_tasks`) and
+    applies the ordinary meta step with `fold_in(base_key, epoch)` — the
+    same per-epoch key derivation the engine's sequential loop uses — so a
+    chained run is bit-identical to k single-dispatch epochs fed the same
+    indices (tests/test_maml.py::test_chained_meta_step_matches_sequential).
+
+    The only semantic difference lives OUTSIDE this function: the host
+    difficulty sampler sees per-task losses once per chunk instead of once
+    per epoch, so within a chunk it samples from difficulties up to k-1
+    epochs stale (engines/meta_train.py documents the checkpoint-cadence
+    consequence). Metrics come back stacked with a leading [k] axis.
+    """
+    step = make_meta_step(model_cfg, cfg, mesh=mesh, axis=axis)
+
+    def chained(state: MamlState, pool: Task, idx_k, base_key, epochs_k):
+        def body(st, inp):
+            idx, epoch = inp
+            tasks = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), pool)
+            return step(st, tasks, jax.random.fold_in(base_key, epoch))
+
+        return jax.lax.scan(body, state, (idx_k, epochs_k))
+
+    return chained
+
+
+def make_jit_chained_meta_step(
+    model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis: str = "dp"
+):
+    """Jit `make_chained_meta_step`, donating the state.
+
+    With a `mesh`, state/pool/metrics are replicated and the per-epoch
+    micro-batches are dp-sharded inside the step via its sharding
+    constraints (same construction as `parallel.meta_dp`); the staged pool
+    is gathered device-side so the scan never leaves the device.
+    """
+    if mesh is None:
+        return jax.jit(
+            make_chained_meta_step(model_cfg, cfg), donate_argnums=(0,)
+        )
+    per_update = cfg.meta_batch // max(1, cfg.grad_accum)
+    n_dev = mesh.devices.size
+    if per_update % n_dev:
+        raise ValueError(
+            f"tasks per update ({per_update}) must be divisible by mesh "
+            f"size ({n_dev}) for even dp sharding"
+        )
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    return jax.jit(
+        make_chained_meta_step(model_cfg, cfg, mesh=mesh, axis=axis),
+        in_shardings=(rep, rep, rep, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

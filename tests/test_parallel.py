@@ -127,6 +127,123 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_meta_2d_matches_single_device():
+    """dp x sp (2x2) meta step — node axis sharded through the whole inner
+    loop by GSPMD — must match the single-device step numerically."""
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+        make_mesh_2d,
+        shard_task_batch_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+        make_parallel_meta_step_2d,
+    )
+
+    meta_cfg = MetaConfig(
+        meta_batch=4,
+        grad_accum=2,
+        inner_epochs=1,
+        inner_batches=2,
+        query_train_mode=False,
+    )
+    tasks = _build(meta_cfg)
+    assert tasks.a_hat.shape[-1] % 2 == 0  # node padding divides sp=2
+
+    state0 = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    single = make_jit_meta_step(MODEL_CFG, meta_cfg)
+    s1, m1 = single(state0, jax.tree.map(jnp.asarray, tasks), jax.random.key(7))
+
+    mesh = make_mesh_2d(2, 2)
+    state0b = init_meta_state(jax.random.key(0), MODEL_CFG, meta_cfg)
+    par = make_parallel_meta_step_2d(
+        MODEL_CFG, meta_cfg, mesh, donate_state=False
+    )
+    sharded = shard_task_batch_2d(jax.tree.map(jnp.asarray, tasks), mesh)
+    # The input layout really is 2-D sharded: each device holds a
+    # [B/2, ..., N/2, ...] block of the support set.
+    shard_shapes = {s.data.shape for s in sharded.support_x.addressable_shards}
+    b, s_, w, n, c = tasks.support_x.shape
+    assert shard_shapes == {(b // 2, s_, w, n // 2, c)}
+    s2, m2 = par(state0b, sharded, jax.random.key(7))
+
+    np.testing.assert_allclose(
+        np.asarray(m1["per_task_loss"]),
+        np.asarray(m2["per_task_loss"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_meta_training_engine_2d_mesh_matches_serial(tmp_path):
+    """The full engine on a dp x sp mesh (MeshConfig.spatial_devices=2,
+    chained dispatch) must reproduce the serial (no-mesh) run's per-epoch
+    losses: 2-D sharding and epoch fusion change the schedule, not the
+    math. Exercises make_mesh's 2-D branch, the engine's sp detection, and
+    the chained 2-D step in one pass."""
+    import os
+
+    from weatherforecast_stgcn_maml_tpu.config import ExperimentConfig
+    from weatherforecast_stgcn_maml_tpu.engines.meta_train import (
+        run_meta_training,
+    )
+
+    def cfg_for(sub, **meta_kw):
+        return ExperimentConfig(
+            model=MODEL_CFG,
+            meta=MetaConfig(
+                num_epochs=3,
+                meta_batch=2,
+                grad_accum=1,
+                inner_epochs=1,
+                inner_batches=2,
+                query_train_mode=False,
+                **meta_kw,
+            ),
+            data=DataConfig(synthetic_timesteps=32),
+            mesh=MeshConfig(num_devices=4, spatial_devices=2),
+            out_dir=str(tmp_path / sub),
+        )
+
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.5 + i, 20.0, 20.5), num_timesteps=32, seed=i
+        )
+        for i in range(2)
+    ]
+
+    cfg = cfg_for("serial")
+    run_meta_training(cfg, list(regions), log_cb=lambda *_: None)
+
+    cfg2d = cfg_for("mesh2d", epochs_per_dispatch=2)
+    mesh = make_mesh(cfg2d.mesh)
+    assert mesh.axis_names == ("dp", "sp") and mesh.devices.shape == (2, 2)
+    run_meta_training(cfg2d, list(regions), mesh=mesh, log_cb=lambda *_: None)
+
+    def losses(sub):
+        path = os.path.join(str(tmp_path / sub), "meta", "meta_log.csv")
+        lines = open(path).read().strip().split("\n")[1:]
+        return [float(l.split(",")[1]) for l in lines]
+
+    np.testing.assert_allclose(
+        losses("serial"), losses("mesh2d"), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_meta_2d_rejects_uneven_dp_shard():
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh_2d
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+        make_parallel_meta_step_2d,
+    )
+
+    meta_cfg = MetaConfig(meta_batch=6, grad_accum=2, inner_epochs=1, inner_batches=2)
+    mesh = make_mesh_2d(4, 2)
+    with pytest.raises(ValueError):
+        make_parallel_meta_step_2d(MODEL_CFG, meta_cfg, mesh)
+
+
 def test_chained_meta_step_dp_matches_single_device():
     """The k-epochs-per-dispatch chained step under a dp mesh must match
     the single-device chained step (same pool, indices, base key)."""

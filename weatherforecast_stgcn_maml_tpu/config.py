@@ -318,10 +318,20 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh for the data-parallel meta batch."""
+    """Device mesh for the data-parallel meta batch.
+
+    With spatial_devices > 1 the mesh is 2-D dp x sp: tasks sharded over
+    `data_axis` and the padded-node axis over `spatial_axis` (GSPMD-
+    partitioned inner loop, parallel/meta_dp.make_parallel_meta_step_2d) —
+    the meta-training scale-out for regions beyond one chip's HBM.
+    num_devices (0 = all available) counts TOTAL devices and must be
+    divisible by spatial_devices.
+    """
 
     data_axis: str = "dp"
     num_devices: int = 0  # 0 -> use all available
+    spatial_axis: str = "sp"
+    spatial_devices: int = 1  # >1 -> 2-D dp x sp mesh
 
 
 @dataclass(frozen=True)

@@ -159,7 +159,26 @@ def run_meta_training(
     params_n = hybrid_param_count(state.params)
     log_cb(f"[meta-train] hybrid model: {params_n:,} parameters")
 
-    if mesh is not None:
+    # A 2-D mesh (MeshConfig.spatial_devices > 1) additionally shards the
+    # padded-node axis over the spatial axis — meta-training for regions
+    # beyond one chip's HBM (parallel/meta_dp.make_parallel_meta_step_2d).
+    sp_axis = (
+        cfg.mesh.spatial_axis
+        if mesh is not None
+        and len(mesh.axis_names) > 1
+        and cfg.mesh.spatial_axis in mesh.axis_names
+        else None
+    )
+    if mesh is not None and sp_axis is not None:
+        from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+            make_parallel_meta_step_2d,
+        )
+
+        meta_step = make_parallel_meta_step_2d(
+            model_cfg, meta_cfg, mesh,
+            dp_axis=cfg.mesh.data_axis, sp_axis=sp_axis,
+        )
+    elif mesh is not None:
         from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
             make_parallel_meta_step,
         )
@@ -284,6 +303,7 @@ def run_meta_training(
         chained_step = make_jit_chained_meta_step(
             model_cfg, meta_cfg, mesh=mesh,
             axis=cfg.mesh.data_axis if mesh is not None else "dp",
+            sp_axis=sp_axis,
         )
     base_key = make_key(meta_cfg.seed + 1, meta_cfg.rng_impl)
 

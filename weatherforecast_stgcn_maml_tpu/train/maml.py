@@ -177,7 +177,33 @@ def adapt_and_query_loss(
     return jnp.stack([query_loss(i) for i in range(q)]).mean()
 
 
-def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"):
+def task_partition_specs(dp_axis: str, sp_axis=None, leading: int = 0) -> "Task":
+    """PartitionSpecs for a stacked Task pytree.
+
+    `leading` extra unsharded axes are prepended (0 for a [B, ...] task
+    batch, 1 for the [n_updates, per, ...] micro-batch layout). The task
+    axis is sharded along `dp_axis`; with `sp_axis`, the padded-node axis
+    of every field is sharded too (node counts are multiples of 128 —
+    graph.py — so they divide any power-of-two sp degree).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    pre = (None,) * leading
+    xy = P(*pre, dp_axis, None, None, sp_axis, None)
+    return Task(
+        support_x=xy,
+        support_y=xy,
+        query_x=xy,
+        query_y=xy,
+        koppen=P(*pre, dp_axis),
+        a_hat=P(*pre, dp_axis, sp_axis, None),
+        node_mask=P(*pre, dp_axis, sp_axis),
+    )
+
+
+def make_meta_step(
+    model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp", sp_axis=None
+):
     """Build the jittable meta-training step.
 
     Returns `meta_step(state, tasks, rng) -> (state, metrics)` where `tasks`
@@ -192,7 +218,29 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"
     local per device and XLA inserts one psum over ICI for the gradient mean
     — the TPU-native realization of the reference's serial task loop +
     gradient accumulation (SURVEY.md section 2, parallelism table).
+
+    With `sp_axis` as well (a 2-D mesh), every task operand's padded-node
+    axis is additionally sharding-constrained along `sp_axis` and GSPMD
+    partitions the inner-loop compute over nodes (all-gather per GCN layer,
+    psum'd loss/grads — the same collectives parallel/spatial.py writes by
+    hand, here inserted by the partitioner). Use via
+    `parallel.meta_dp.make_parallel_meta_step_2d` (or MeshConfig.
+    spatial_devices > 1 through the engine).
     """
+    if sp_axis is not None and (
+        model_cfg.lstm_kernel != "xla"
+        or model_cfg.use_pallas_gcn
+        or model_cfg.use_pallas_lstm
+    ):
+        # Pallas custom-VJP kernels are opaque to the SPMD partitioner (no
+        # partitioning rule — GSPMD would replicate the node axis into
+        # every program, defeating sp). Pin the XLA routes, exactly like
+        # second-order MAML does above; at multi-chip node counts XLA is
+        # also the measured-fast path (benchmarks/scale_envelope.json).
+        model_cfg = dataclasses.replace(
+            model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
+            use_pallas_lstm=False,
+        )
     tx, schedule = meta_optimizer(cfg)
 
     def _shard_micro(micro_tasks):
@@ -200,9 +248,20 @@ def make_meta_step(model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis="dp"
             return micro_tasks
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = NamedSharding(mesh, P(None, axis))
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, spec), micro_tasks
+        if sp_axis is None:
+            spec = NamedSharding(mesh, P(None, axis))
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, spec),
+                micro_tasks,
+            )
+        specs = task_partition_specs(axis, sp_axis, leading=1)
+        return Task(
+            *(
+                jax.lax.with_sharding_constraint(
+                    getattr(micro_tasks, f), NamedSharding(mesh, getattr(specs, f))
+                )
+                for f in Task._fields
+            )
         )
 
     def micro_update(state: MamlState, micro):
@@ -254,7 +313,11 @@ def make_jit_meta_step(model_cfg: ModelConfig, cfg: MetaConfig):
 
 
 def make_chained_meta_step(
-    model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis: str = "dp"
+    model_cfg: ModelConfig,
+    cfg: MetaConfig,
+    mesh=None,
+    axis: str = "dp",
+    sp_axis=None,
 ):
     """Chain k meta steps into ONE compiled dispatch.
 
@@ -279,7 +342,7 @@ def make_chained_meta_step(
     epochs stale (engines/meta_train.py documents the checkpoint-cadence
     consequence). Metrics come back stacked with a leading [k] axis.
     """
-    step = make_meta_step(model_cfg, cfg, mesh=mesh, axis=axis)
+    step = make_meta_step(model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis)
 
     def chained(state: MamlState, pool: Task, idx_k, base_key, epochs_k):
         def body(st, inp):
@@ -293,31 +356,37 @@ def make_chained_meta_step(
 
 
 def make_jit_chained_meta_step(
-    model_cfg: ModelConfig, cfg: MetaConfig, mesh=None, axis: str = "dp"
+    model_cfg: ModelConfig,
+    cfg: MetaConfig,
+    mesh=None,
+    axis: str = "dp",
+    sp_axis=None,
 ):
     """Jit `make_chained_meta_step`, donating the state.
 
     With a `mesh`, state/pool/metrics are replicated and the per-epoch
     micro-batches are dp-sharded inside the step via its sharding
     constraints (same construction as `parallel.meta_dp`); the staged pool
-    is gathered device-side so the scan never leaves the device.
+    is gathered device-side so the scan never leaves the device. With
+    `sp_axis` too (2-D mesh) the gathered batches are node-sharded as in
+    `parallel.meta_dp.make_parallel_meta_step_2d`.
     """
     if mesh is None:
         return jax.jit(
             make_chained_meta_step(model_cfg, cfg), donate_argnums=(0,)
         )
     per_update = cfg.meta_batch // max(1, cfg.grad_accum)
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape[axis] if sp_axis is not None else mesh.devices.size
     if per_update % n_dev:
         raise ValueError(
-            f"tasks per update ({per_update}) must be divisible by mesh "
-            f"size ({n_dev}) for even dp sharding"
+            f"tasks per update ({per_update}) must be divisible by the dp "
+            f"extent ({n_dev}) for even sharding"
         )
     from weatherforecast_stgcn_maml_tpu.parallel.mesh import replicated
 
     rep = replicated(mesh)
     return jax.jit(
-        make_chained_meta_step(model_cfg, cfg, mesh=mesh, axis=axis),
+        make_chained_meta_step(model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis),
         in_shardings=(rep, rep, rep, rep, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),

@@ -98,7 +98,12 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
     }
 
 
-def main(node_counts=(512, 1024, 2048), batch: int = 8, rounds: int = 8) -> int:
+def main(
+    node_counts=(512, 1024, 2048),
+    batch: int = 8,
+    rounds: int = 8,
+    out_name: str = "scale_envelope.json",
+) -> int:
     import jax
 
     from weatherforecast_stgcn_maml_tpu.config import ModelConfig
@@ -158,11 +163,24 @@ def main(node_counts=(512, 1024, 2048), batch: int = 8, rounds: int = 8) -> int:
         if peak:
             entry["mfu_vs_bf16_peak"] = a["flops"] / best / peak
         out["arms"].append(entry)
-    with open(os.path.join(SELF_DIR, "scale_envelope.json"), "w") as f:
+    with open(os.path.join(SELF_DIR, out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, nargs="+", default=[512, 1024, 2048])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--out", default="scale_envelope.json")
+    a = ap.parse_args()
+    sys.exit(
+        main(
+            node_counts=tuple(a.nodes), batch=a.batch, rounds=a.rounds,
+            out_name=a.out,
+        )
+    )

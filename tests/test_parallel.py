@@ -232,6 +232,61 @@ def test_meta_training_engine_2d_mesh_matches_serial(tmp_path):
     )
 
 
+def test_meta_2d_actually_shards_activation_memory():
+    """The sp axis must reduce PER-DEVICE memory, not just input layout:
+    if GSPMD decided to all-gather the node axis at entry and compute
+    replicated, temp memory would match the 1-D dp step. Measured on this
+    config: dp2 147.9 MB -> dp2 x sp4 36.7 MB (~1/4). Guard at < 0.5x."""
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+        make_mesh_2d,
+        shard_task_batch_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+        make_parallel_meta_step_2d,
+    )
+
+    model_cfg = ModelConfig(
+        hidden_channels=64, gcn_layers=4, lstm_hidden=64, lstm_layers=2,
+        window=12, horizon=4,
+    )
+    meta_cfg = MetaConfig(
+        meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=4,
+        query_train_mode=False,
+    )
+    # A 31x31 box -> 961 nodes -> padded 1024: big enough that node-sharded
+    # activations dominate replicated params in the memory analysis.
+    regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 17.5 + i, 20.0, 27.5), num_timesteps=48, seed=i
+        )
+        for i in range(2)
+    ]
+    built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+    tasks = stack_tasks([b.task for b in built])
+    assert tasks.a_hat.shape[-1] == 1024
+    state = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+
+    mesh1 = make_mesh(MeshConfig(num_devices=2))
+    c1 = (
+        make_parallel_meta_step(model_cfg, meta_cfg, mesh1, donate_state=False)
+        .lower(state, shard_task_batch(tasks, mesh1), jax.random.key(1))
+        .compile()
+    )
+    mesh2 = make_mesh_2d(2, 4)
+    c2 = (
+        make_parallel_meta_step_2d(model_cfg, meta_cfg, mesh2, donate_state=False)
+        .lower(state, shard_task_batch_2d(tasks, mesh2), jax.random.key(1))
+        .compile()
+    )
+    m1, m2 = c1.memory_analysis(), c2.memory_analysis()
+    if m1 is None or m2 is None:
+        pytest.skip("backend exposes no memory analysis")
+    assert m2.temp_size_in_bytes < 0.5 * m1.temp_size_in_bytes, (
+        f"sp sharding did not reduce per-device temp memory: "
+        f"{m2.temp_size_in_bytes} vs {m1.temp_size_in_bytes}"
+    )
+
+
 def test_meta_2d_rejects_uneven_dp_shard():
     from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh_2d
     from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (

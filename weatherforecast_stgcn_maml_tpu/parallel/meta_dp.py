@@ -71,7 +71,10 @@ def make_parallel_meta_step_2d(
     split across its sp column, GSPMD inserting the per-GCN-layer
     all-gather and the loss/grad psums — the collectives
     `parallel/spatial.py` writes by hand for the supervised step, here
-    derived by the partitioner through the whole inner-SGD scan.
+    derived by the partitioner through the whole inner-SGD scan. Per-
+    device activation memory genuinely scales down with the sp degree
+    (temp memory 147.9 -> 36.7 MB going dp2 -> dp2 x sp4 at 1024 nodes;
+    regression-tested in tests/test_parallel.py).
 
     The Pallas custom-VJP kernels are opaque to the SPMD partitioner, so
     `make_meta_step(sp_axis=...)` pins the twice-vetted XLA routes, exactly

@@ -521,6 +521,31 @@ def kernel_parity(dtype: str) -> dict:
         for a_, b_ in zip(jax.tree.leaves(sp_ref[0]), jax.tree.leaves(sp_got[0]))
     )
 
+    # Batch-chunked stack route (wide-batch supervised steps): chunked
+    # fused == XLA with the SAME full-batch dropout masks sliced per chunk.
+    from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_stack import (
+        lstm_stack_last_all_chunked,
+    )
+
+    def chunk_loss(p, x):
+        out = lstm_stack_last_all_chunked(
+            p, x, n // 2, dropout_rate=0.2, train=True,
+            rng=jax.random.key(5), compute_dtype=dt,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    checks["lstm_chunked_fwd"] = rel_err(
+        jax.jit(lambda p, x: lstm_stack_last_all_chunked(
+            p, x, n // 2, compute_dtype=dt))(lp, x_seq),
+        ref_fwd,
+    )
+    ck_got = jax.jit(jax.grad(chunk_loss, argnums=(0, 1)))(lp, x_seq)
+    checks["lstm_chunked_bwd_dx"] = rel_err(ck_got[1], sp_ref[1])
+    checks["lstm_chunked_bwd_dw"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(sp_ref[0]), jax.tree.leaves(ck_got[0]))
+    )
+
     xp = jnp.asarray(rng.normal(size=(t_len, n, 4 * hid)).astype(np.float32))
     whm = jnp.asarray(rng.normal(size=(hid, 4 * hid)).astype(np.float32) * 0.1)
     w_out = jnp.asarray(rng.normal(size=(t_len, n, hid)).astype(np.float32))

@@ -233,6 +233,8 @@ def apply_lstm(
     if kernel in ("auto", "pallas_stack"):
         from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_stack import (
             lstm_stack_last_all,
+            lstm_stack_last_all_chunked,
+            stack_chunk_size,
             stack_supported,
         )
 
@@ -257,6 +259,26 @@ def apply_lstm(
                 params, x, dropout_rate=dropout_rate, train=train, rng=rng,
                 compute_dtype=compute_dtype,
             )
+        if kernel == "auto" and compute_dtype != jnp.float64 and (
+            jax.default_backend() == "tpu"
+        ):
+            # Batch too wide for one kernel instance (wide supervised steps
+            # put batch*nodes rows through the recurrence): run the fused
+            # stack in row chunks — rows are independent, masks are drawn
+            # full-batch from the same streams, numerics bit-identical.
+            # The XLA scan at these widths is HBM-bound elementwise traffic
+            # (12x the LSTM FLOP floor at 32768 rows;
+            # benchmarks/large_node_decomp_probe.json).
+            chunk = stack_chunk_size(
+                t, b, c, hidden, n_layers,
+                itemsize=jnp.dtype(compute_dtype).itemsize,
+            )
+            if chunk is not None and chunk < b:
+                return lstm_stack_last_all_chunked(
+                    params, x, chunk,
+                    dropout_rate=dropout_rate, train=train, rng=rng,
+                    compute_dtype=compute_dtype,
+                )
         kernel = "xla"  # stack unsupported at these shapes -> XLA scan
     h = jnp.swapaxes(x, 0, 1)  # [T, B, C] time-major for scan
     for l, layer in enumerate(params["layers"]):

@@ -1638,6 +1638,84 @@ def stack_supported(t: int, b: int, c_in: int, hidden: int, n_layers: int,
     return 2 * streamed + weights + accum + scratch <= _VMEM_BUDGET_BYTES
 
 
+def stack_chunk_size(t: int, b: int, c_in: int, hidden: int, n_layers: int,
+                     itemsize: int = 4, min_chunk: int = 512) -> int | None:
+    """Largest batch-chunk size that fits the stack kernel's VMEM gate.
+
+    LSTM batch rows are independent, so a batch too wide for one kernel
+    instance (stack_supported False — e.g. 8-window x 4096-node supervised
+    steps put B = 32768 rows through the recurrence) can run the fused
+    stack in B/chunk sequential slices instead of falling back to the XLA
+    scan, which measured 12x over the LSTM FLOP floor at that width
+    (HBM-bound elementwise traffic the kernel keeps in VMEM;
+    benchmarks/large_node_decomp_probe.json).
+
+    Returns b itself when unchunked fits, the largest fitting b/2^k >=
+    min_chunk otherwise, or None (chunks below min_chunk forfeit the MXU
+    efficiency that motivates the kernel — route XLA instead).
+    """
+    if stack_supported(t, b, c_in, hidden, n_layers, itemsize):
+        return b
+    bc = b // 2 if b % 2 == 0 else 0
+    while bc >= min_chunk:
+        if b % bc == 0 and bc % 8 == 0 and stack_supported(
+            t, bc, c_in, hidden, n_layers, itemsize
+        ):
+            return bc
+        if bc % 2:
+            break
+        bc //= 2
+    return None
+
+
+def lstm_stack_last_all_chunked(
+    params,
+    x,
+    chunk: int,
+    *,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    rng=None,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+    merged: bool | None = None,
+):
+    """Fused stack over a batch too wide for one kernel instance.
+
+    Splits x [B, T, C] into B/chunk row slices and runs the fused stack
+    per slice. Rows are independent in an LSTM, so this is exact; dropout
+    masks are drawn ONCE for the full batch from the same fold_in(rng, l)
+    streams as the unchunked/XLA paths and sliced per chunk, so train-mode
+    numerics stay bit-identical to both. Weight gradients sum across
+    chunks through the custom VJP (plain autodiff of the Python loop).
+    """
+    b, t, _ = x.shape
+    if b % chunk:
+        raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+    layers = params["layers"]
+    n_layers = len(layers)
+    hidden = layers[0]["wh"].shape[0]
+    masks = None
+    if train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
+        keep = 1.0 - dropout_rate
+        masks = jnp.stack([
+            jax.random.bernoulli(
+                jax.random.fold_in(rng, l), keep, (t, b, hidden)
+            )
+            for l in range(n_layers - 1)
+        ]).astype(jnp.int8)  # [L-1, T, B, H]
+    outs = []
+    for i in range(b // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        outs.append(lstm_stack_last_all(
+            params, x[sl],
+            dropout_rate=dropout_rate, train=train, rng=None,
+            compute_dtype=compute_dtype, interpret=interpret, merged=merged,
+            masks=None if masks is None else masks[:, :, sl],
+        ))
+    return jnp.concatenate(outs, axis=0)  # [B, H]
+
+
 def lstm_stack_last_all(
     params,
     x,
@@ -1648,6 +1726,7 @@ def lstm_stack_last_all(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     merged: bool | None = None,
+    masks=None,
 ):
     """Run the whole stacked LSTM fused: x [B, T, C] -> h_top [B, H].
 
@@ -1659,6 +1738,13 @@ def lstm_stack_last_all(
     per-layer weights concatenate to [[wx], [wh]] so each step runs one
     [B, C+H] contraction; the weight-grad split back to (dwx, dwh) is the
     XLA transpose of that concatenation.
+
+    `masks` optionally supplies precomputed int8 {0,1} dropout masks
+    [L-1, T, B, H] (time-major) instead of drawing them from `rng` — the
+    batch-chunked route (lstm_stack_last_all_chunked) uses this to draw
+    ONE full-batch mask per layer and slice it per chunk, keeping chunked
+    numerics bit-identical to the unchunked/XLA paths. `dropout_rate`
+    still supplies the 1/keep scale folded into the kernel.
     """
     layers = params["layers"]
     n_layers = len(layers)
@@ -1670,9 +1756,15 @@ def lstm_stack_last_all(
 
     b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
 
-    masks = None
     keep = 1.0
-    if train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
+    if masks is not None:
+        if n_layers <= 1 or dropout_rate <= 0.0:
+            raise ValueError(
+                "precomputed masks require n_layers > 1 and dropout_rate > 0"
+            )
+        keep = 1.0 - dropout_rate
+        masks = masks.astype(jnp.int8)  # [L-1, T, B, H]
+    elif train and dropout_rate > 0.0 and rng is not None and n_layers > 1:
         keep = 1.0 - dropout_rate
         # int8 {0, 1} — a quarter of the f32 bytes in HBM (the mask stream
         # is written once by the bernoulli and read by BOTH kernel passes);

@@ -1,30 +1,42 @@
 """Decompose the 4096-node supervised train step (scale_envelope's 37.4%
 MFU arm) into encoder-grad / LSTM-grad / full-step components.
 
-At 4096 padded nodes the fused training kernels' VMEM gates close (dense
-adjacency alone is 67 MB f32), so the step runs the layerwise XLA path
-and MFU drops from ~52% (2048, kernels on) to 37.4%. This probe localizes
-where that XLA-path time goes at N=4096 before any optimization attempt:
-the adjacency dots are huge ([4096,4096]@[4096,256] ~ 8.6 GFLOP each) and
-should run near peak on their own, so the suspects are the wide-batch
-LSTM scan (B = batch*N = 32768 rows; carries stream HBM every step) and
-backward activation traffic.
+At 4096 padded nodes the fused training kernels' unchunked VMEM gates
+close (dense adjacency alone is 67 MB f32), so round 3 originally ran the
+layerwise XLA path and MFU dropped from ~52% (2048, kernels on) to 37.4%.
+This probe localized where that XLA-path time went: NOT the adjacency
+dots ([4096,4096]@[4096,256] ~ 8.6 GFLOP each runs near peak — enc_fwd
+measured ~81% MFU) but the wide-batch LSTM scan (B = batch*N = 32768
+rows), measured 165 ms/step against a ~14 ms FLOP floor — HBM-bound
+elementwise traffic XLA streams between every tiny recurrent dot. The
+probe's findings drove two fixes, both measured here:
+
+  * rbg training keys (the production engines' default) take the encoder
+    grad 152 -> 119 ms — threefry mask generation is a real cost at
+    [24, 4096, 256] mask shapes (--rng-impl arms).
+  * batch-CHUNKED fused-stack routing (ops/fused_lstm_stack.py
+    stack_chunk_size / lstm_stack_last_all_chunked): rows are independent,
+    so the kernel runs in gate-passing b/2^k chunks — LSTM grad
+    165.3 -> 35.4 ms (4.7x), full step 328.6 -> 149.4 ms
+    (37.4% -> ~80% MFU).
 
 Arms (interleaved round-robin, one in-graph lax.scan chain per dispatch,
 forced value fetch per rep — CLAUDE.md timing discipline):
-  full      — value_and_grad of the masked-MSE supervised loss + adam
-              update (the envelope's exact step), chain 3
-  enc_grad  — grad chain through the per-window encoder stack alone,
-              chain 6
-  lstm_grad — grad chain through the stacked LSTM alone at [N, W, 256]
-              rows x batch windows (the hybrid's exact LSTM workload),
-              chain 6
-  enc_fwd   — encoder forward only (train=False -> eval GCN kernel gate
-              also closed at this size, pure XLA), chain 6
+  full          — value_and_grad of the masked-MSE supervised loss + adam
+                  update (the envelope's exact step), chain 3
+  enc_grad      — grad chain through the per-window encoder stack alone,
+                  chain 6
+  lstm_grad     — grad chain through the stacked LSTM alone at [N, W, 256]
+                  rows x batch windows (the hybrid's exact LSTM workload),
+                  production kernel routing (auto -> chunked), chain 6
+  lstm_grad_xla — same workload forced onto the XLA scan (the A/B)
+  enc_fwd       — encoder forward only (train=False -> eval GCN kernel
+                  gate also closed at this size, pure XLA), chain 6
 
 Reference workload: hybrid_model.py:60-117 scaled to 4096-node regions.
-Output: benchmarks/large_node_decomp_probe.json.
+Output: benchmarks/large_node_decomp_probe[_rbg].json.
 Run: cd /root/repo && python benchmarks/large_node_decomp_probe.py
+     [--rng-impl rbg]
 """
 
 from __future__ import annotations

@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(SELF_DIR))
 CHAIN_STEPS = 10  # optimizer steps per timed dispatch (amortizes dispatch)
 
 
-def build_arm(n_nodes: int, batch: int, model_cfg):
+def build_arm(n_nodes: int, batch: int, model_cfg, rng_impl: str = "default"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -47,6 +47,7 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
     from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
     from weatherforecast_stgcn_maml_tpu.models.registry import init_model
     from weatherforecast_stgcn_maml_tpu.train.supervised import batched_forward
+    from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
 
     rng = np.random.default_rng(n_nodes)
     w, c = model_cfg.window, model_cfg.feature_channels
@@ -94,6 +95,7 @@ def build_arm(n_nodes: int, batch: int, model_cfg):
         flops = batch * _analytic_inner_flops(model_cfg, n_nodes)
     return {
         "step": train_step, "params": params, "opt_state": opt_state,
+        "make_key": lambda seed: make_key(seed, rng_impl),
         "flops": flops, "nodes": n_nodes, "batch": batch, "times": [],
     }
 
@@ -103,6 +105,7 @@ def main(
     batch: int = 8,
     rounds: int = 8,
     out_name: str = "scale_envelope.json",
+    rng_impl: str = "default",
 ) -> int:
     import jax
 
@@ -117,9 +120,9 @@ def main(
     arms = []
     for n in node_counts:
         t0 = time.perf_counter()
-        arm = build_arm(n, batch, model_cfg)
+        arm = build_arm(n, batch, model_cfg, rng_impl)
         arm["params"], arm["opt_state"], loss = arm["step"](
-            arm["params"], arm["opt_state"], jax.random.key(2)
+            arm["params"], arm["opt_state"], arm["make_key"](2)
         )
         float(np.asarray(loss))
         print(
@@ -137,7 +140,7 @@ def main(
         def rep():
             counter[0] += 1
             arm["params"], arm["opt_state"], loss = arm["step"](
-                arm["params"], arm["opt_state"], jax.random.key(10 + counter[0])
+                arm["params"], arm["opt_state"], arm["make_key"](10 + counter[0])
             )
             float(np.asarray(loss))  # forced fetch (CLAUDE.md timing rule)
 
@@ -147,7 +150,7 @@ def main(
         {f"N={a['nodes']}": make_rep(a) for a in arms}, rounds, "scale"
     )
     out = {
-        "batch_windows": batch, "dtype": "bfloat16",
+        "batch_windows": batch, "dtype": "bfloat16", "rng_impl": rng_impl,
         "chain_steps_per_dispatch": CHAIN_STEPS, "arms": [],
     }
     for a in arms:
@@ -177,10 +180,17 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--out", default="scale_envelope.json")
+    ap.add_argument(
+        "--rng-impl", default="default",
+        help="PRNG impl for training keys: 'default' (threefry, the "
+             "historical envelope methodology) or 'rbg' (the production "
+             "engines' default — mask generation off the VPU threefry "
+             "path; see utils/prng.py)",
+    )
     a = ap.parse_args()
     sys.exit(
         main(
             node_counts=tuple(a.nodes), batch=a.batch, rounds=a.rounds,
-            out_name=a.out,
+            out_name=a.out, rng_impl=a.rng_impl,
         )
     )

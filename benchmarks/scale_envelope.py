@@ -64,22 +64,29 @@ def build_arm(n_nodes: int, batch: int, model_cfg, rng_impl: str = "default"):
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
 
-    def one_step(params, opt_state, step_rng):
+    # Inputs ride as jit ARGUMENTS, not closures: a closed-over array is
+    # embedded as an HLO literal, and the 8192-node adjacency alone
+    # (268 MB f32) exceeds the axon remote-compile request limit (HTTP 413).
+    data = jax.device_put((x, y, a_hat, mask))
+
+    def one_step(params, opt_state, step_rng, data):
+        xd, yd, ad, md = data
+
         def loss_fn(p):
             preds = batched_forward(
-                p, a_hat, x, koppen, model_cfg, train=True, rng=step_rng
+                p, ad, xd, koppen, model_cfg, train=True, rng=step_rng
             )
-            return masked_mse(preds, y, mask)
+            return masked_mse(preds, yd, md)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def train_step(params, opt_state, rng):
+    def _train_step(params, opt_state, rng, data):
         def body(carry, step_rng):
             p, o = carry
-            p, o, loss = one_step(p, o, step_rng)
+            p, o, loss = one_step(p, o, step_rng, data)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -87,7 +94,12 @@ def build_arm(n_nodes: int, batch: int, model_cfg, rng_impl: str = "default"):
         )
         return params, opt_state, losses[-1]
 
-    lowered = jax.jit(one_step).lower(params, opt_state, jax.random.key(1))
+    def train_step(params, opt_state, rng):
+        return _train_step(params, opt_state, rng, data)
+
+    lowered = jax.jit(one_step).lower(
+        params, opt_state, jax.random.key(1), data
+    )
     flops = float((lowered.cost_analysis() or {}).get("flops", 0.0))
     if flops <= 0.0:  # axon backend has no client-side cost analysis
         from bench import _analytic_inner_flops

@@ -331,6 +331,18 @@ def test_stack_chunk_size_logic():
         )
         is None
     )
+    # Non-power-of-two batches (b = 3 * 2^k) find a fused route too: the
+    # search covers ALL multiple-of-8 divisors, not just b/2^k halvings
+    # (round-3 advisor finding), and returns the LARGEST fitting one.
+    b = 3 * 8192
+    bc = fused_lstm_stack.stack_chunk_size(24, b, 256, 128, 4, 2)
+    assert bc is not None and bc < b and b % bc == 0 and bc % 8 == 0
+    assert fused_lstm_stack.stack_supported(24, bc, 256, 128, 4, 2)
+    assert bc == max(
+        d for d in range(512, b)
+        if b % d == 0 and d % 8 == 0
+        and fused_lstm_stack.stack_supported(24, d, 256, 128, 4, 2)
+    )
 
 
 def test_chunked_stack_parity_eval_and_train():

@@ -311,7 +311,13 @@ def run_meta_training(
     loss = float("nan")
     epoch = start_epoch
     while epoch < meta_cfg.num_epochs:
-        kk = min(k_cfg, meta_cfg.num_epochs - epoch)
+        remaining = meta_cfg.num_epochs - epoch
+        # A tail chunk with 2 <= kk < k_cfg would re-trace the chained step
+        # at a one-off scan length — one extra full meta-step compile
+        # through the remote-compile tunnel. Decompose the remainder into
+        # k=1 steps instead: `meta_step` is either already compiled or far
+        # cheaper to compile than a fresh chained scan.
+        kk = k_cfg if remaining >= k_cfg else 1
         t0 = time.perf_counter()
         idx_k = np.stack([sampler.sample() for _ in range(kk)])
         if kk == 1:

@@ -1650,21 +1650,28 @@ def stack_chunk_size(t: int, b: int, c_in: int, hidden: int, n_layers: int,
     (HBM-bound elementwise traffic the kernel keeps in VMEM;
     benchmarks/large_node_decomp_probe.json).
 
-    Returns b itself when unchunked fits, the largest fitting b/2^k >=
-    min_chunk otherwise, or None (chunks below min_chunk forfeit the MXU
-    efficiency that motivates the kernel — route XLA instead).
+    Returns b itself when unchunked fits, the largest fitting divisor of b
+    that is a multiple of 8 and >= min_chunk otherwise, or None (chunks
+    below min_chunk forfeit the MXU efficiency that motivates the kernel —
+    route XLA instead). All divisors are searched (descending), not just
+    b/2^k halvings, so e.g. b = 3*2^k batches still find a fused route.
     """
     if stack_supported(t, b, c_in, hidden, n_layers, itemsize):
         return b
-    bc = b // 2 if b % 2 == 0 else 0
-    while bc >= min_chunk:
-        if b % bc == 0 and bc % 8 == 0 and stack_supported(
-            t, bc, c_in, hidden, n_layers, itemsize
-        ):
+    # Divisors of b, largest first. b is at most a few hundred thousand
+    # rows (windows x padded nodes), so trial division at trace time is
+    # free relative to one XLA compile.
+    divisors: list[int] = []
+    d = 1
+    while d * d <= b:
+        if b % d == 0:
+            divisors.extend((d, b // d))
+        d += 1
+    for bc in sorted(set(divisors), reverse=True):
+        if bc >= b or bc < min_chunk or bc % 8:
+            continue
+        if stack_supported(t, bc, c_in, hidden, n_layers, itemsize):
             return bc
-        if bc % 2:
-            break
-        bc //= 2
     return None
 
 

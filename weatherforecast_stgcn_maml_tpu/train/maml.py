@@ -364,12 +364,14 @@ def make_jit_chained_meta_step(
 ):
     """Jit `make_chained_meta_step`, donating the state.
 
-    With a `mesh`, state/pool/metrics are replicated and the per-epoch
+    With a `mesh`, state/metrics are replicated and the per-epoch
     micro-batches are dp-sharded inside the step via its sharding
     constraints (same construction as `parallel.meta_dp`); the staged pool
     is gathered device-side so the scan never leaves the device. With
     `sp_axis` too (2-D mesh) the gathered batches are node-sharded as in
-    `parallel.meta_dp.make_parallel_meta_step_2d`.
+    `parallel.meta_dp.make_parallel_meta_step_2d`, and the POOL itself is
+    stored node-sharded over sp (a replicated pool would reinstate the
+    per-device memory ceiling the sp axis exists to remove).
     """
     if mesh is None:
         return jax.jit(
@@ -385,9 +387,24 @@ def make_jit_chained_meta_step(
     from weatherforecast_stgcn_maml_tpu.parallel.mesh import replicated
 
     rep = replicated(mesh)
+    if sp_axis is None:
+        pool_sharding = rep
+    else:
+        # On a 2-D dp x sp mesh — built precisely for regions whose node
+        # axis exceeds one chip's HBM — a replicated pool would put the
+        # ENTIRE task pool on every device, reinstating the per-device
+        # memory ceiling the sp axis removes. Shard the pool's node axis
+        # over sp (its task axis stays unsharded: any epoch's batch gathers
+        # arbitrary pool rows device-side).
+        from jax.sharding import NamedSharding
+
+        specs = task_partition_specs(None, sp_axis, leading=0)
+        pool_sharding = Task(
+            *(NamedSharding(mesh, getattr(specs, f)) for f in Task._fields)
+        )
     return jax.jit(
         make_chained_meta_step(model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis),
-        in_shardings=(rep, rep, rep, rep, rep),
+        in_shardings=(rep, pool_sharding, rep, rep, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

@@ -141,7 +141,7 @@ def _bf16_peak_flops() -> float:
 
 
 def flops_per_meta_step(state, tasks, model_cfg, meta_cfg) -> float:
-    """Physically-derived FLOPs of ONE meta step.
+    """Physically-derived FLOPs of ONE meta step (FO or second-order).
 
     XLA's `cost_analysis` counts a `lax.scan` body ONCE regardless of trip
     count, so cost analysis of the full meta step undercounts ~100x (the
@@ -149,11 +149,34 @@ def flops_per_meta_step(state, tasks, model_cfg, meta_cfg) -> float:
     single inner SGD gradient step, then multiply by the real trip counts —
     meta_batch tasks x (inner_epochs x S support steps + Q query fwd/bwd,
     where a query grad costs about one inner grad).
+
+    Second-order (VERDICT r3 item 2a): the SO meta-gradient additionally
+    differentiates THROUGH every inner update. The inner scan's forward
+    pass costs one inner update `A` per step; its backward pass costs one
+    VJP-of-the-inner-update `B` per step — cost-analyzed directly from
+    `jax.vjp(inner_update)`, whose lowering includes the per-step remat
+    recompute (so_remat="step" recomputes the update's fwd+bwd inside the
+    transpose, exactly what the lowered vjp contains). Total:
+    batch x (steps x (A + B) + query grad-of-adapted ~ A).
     """
+    import dataclasses
+
     import jax
 
     from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
     from weatherforecast_stgcn_maml_tpu.models.registry import apply_model
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+        clip_global_norm_tree,
+    )
+
+    if meta_cfg.second_order:
+        # Mirror train/maml.py's SO rerouting: the cost model must lower
+        # the same twice-differentiable XLA route the SO step actually
+        # runs (and jax.vjp through a Pallas custom-VJP has no JVP rule).
+        model_cfg = dataclasses.replace(
+            model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
+            use_pallas_lstm=False,
+        )
 
     task0 = jax.tree.map(lambda x: x[0], tasks)
 
@@ -168,18 +191,41 @@ def flops_per_meta_step(state, tasks, model_cfg, meta_cfg) -> float:
             p, task0.support_x[0], task0.support_y[0], rng
         )
 
-    lowered = jax.jit(one_inner_grad).lower(state.params, jax.random.key(0))
-    analysis = lowered.cost_analysis() or {}
-    inner_flops = float(analysis.get("flops", 0.0))
+    def _cost(fn, *args) -> float:
+        lowered = jax.jit(fn).lower(*args)
+        analysis = lowered.cost_analysis() or {}
+        return float(analysis.get("flops", 0.0))
+
+    inner_flops = _cost(one_inner_grad, state.params, jax.random.key(0))
     if inner_flops <= 0.0:  # backend without client-side cost analysis
         inner_flops = _analytic_inner_flops(model_cfg, int(task0.a_hat.shape[0]))
 
     batch = int(tasks.support_x.shape[0])
     s = int(tasks.support_x.shape[1])
-    steps = meta_cfg.inner_epochs * s + min(
-        meta_cfg.query_batches, int(tasks.query_x.shape[1])
-    )
-    return batch * steps * inner_flops
+    steps = meta_cfg.inner_epochs * s
+    q = min(meta_cfg.query_batches, int(tasks.query_x.shape[1]))
+    if not meta_cfg.second_order:
+        return batch * (steps + q) * inner_flops
+
+    # SO: B = FLOPs of one VJP through the full inner update (grad + clip
+    # + SGD step), evaluated the way the scan transpose evaluates it.
+    def inner_update(p, rng):
+        g = one_inner_grad(p, rng)
+        g, _ = clip_global_norm_tree(g, meta_cfg.clip_norm)
+        return jax.tree.map(lambda a, b: a - meta_cfg.inner_lr * b, p, g)
+
+    def step_vjp(p, ct, rng):
+        _, vjp = jax.vjp(lambda q: inner_update(q, rng), p)
+        return vjp(ct)
+
+    ct = jax.tree.map(jax.numpy.zeros_like, state.params)
+    vjp_flops = _cost(step_vjp, state.params, ct, jax.random.key(0))
+    if vjp_flops <= 0.0:
+        # Fallback: an HVP-like transpose costs ~3x the first-order step
+        # (recompute fwd+bwd, then transpose both) — standard grad-of-grad
+        # cost ratio; used only when cost_analysis is unavailable.
+        vjp_flops = 3.0 * inner_flops
+    return batch * (steps * (inner_flops + vjp_flops) + q * inner_flops)
 
 
 def _analytic_inner_flops(cfg, n: int) -> float:
@@ -221,10 +267,10 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
     on_tpu = jax.default_backend() == "tpu"
     # Quick-mode shapes are dispatch-latency-bound; MFU against the floor is
     # meaningless there, so the floor gates nothing in quick mode.
+    # SO included (VERDICT r3 item 2a): flops_per_meta_step cost-analyzes
+    # the per-step VJP for grad-of-grad, so --second-order reports MFU too.
     floor_s = (
-        step_flops / _bf16_peak_flops()
-        if on_tpu and not quick and not second_order
-        else None  # SO: inner-grad FLOP model does not cover grad-of-grad
+        step_flops / _bf16_peak_flops() if on_tpu and not quick else None
     )
     if floor_s is not None:
         _log(

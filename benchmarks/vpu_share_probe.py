@@ -59,6 +59,23 @@ def main(rounds: int = 8) -> int:
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
 
+    # Mosaic cannot lower jax.nn.sigmoid / jnp.tanh on bf16 vectors (their
+    # lowerings broadcast f32 constants into the vector dtype and trip a
+    # 'vector.broadcast' verification error). The bf16 arms use manual
+    # same-dtype formulations; f32 arms keep the production forms.
+    def _sig(x):
+        if x.dtype == jnp.bfloat16:
+            one = jnp.ones((), x.dtype)
+            return one / (one + jnp.exp(-x))
+        return jax.nn.sigmoid(x)
+
+    def _tanh(x):
+        if x.dtype == jnp.bfloat16:
+            one = jnp.ones((), x.dtype)
+            two = one + one
+            return two * _sig(two * x) - one
+        return jnp.tanh(x)
+
     # ---------------- LSTM-step arms ------------------------------------
     def lstm_kernel(w_ref, h_ref, m_ref, o_ref, *, k, cell):
         h = h_ref[:]  # [B, H4] bf16 (gates of "previous step")
@@ -75,18 +92,18 @@ def main(rounds: int = 8) -> int:
                 g32 = gates.astype(cdt)
                 if cell == "slab":
                     # i|f|o adjacent: ONE [B, 3H] sigmoid + one tanh.
-                    ifo = jax.nn.sigmoid(g32[:, : 3 * HID])
+                    ifo = _sig(g32[:, : 3 * HID])
                     i = ifo[:, :HID]
                     f = ifo[:, HID:2 * HID]
                     o = ifo[:, 2 * HID:]
-                    g = jnp.tanh(g32[:, 3 * HID:])
+                    g = _tanh(g32[:, 3 * HID:])
                 else:
-                    i = jax.nn.sigmoid(g32[:, :HID])
-                    f = jax.nn.sigmoid(g32[:, HID:2 * HID])
-                    g = jnp.tanh(g32[:, 2 * HID:3 * HID])
-                    o = jax.nn.sigmoid(g32[:, 3 * HID:])
+                    i = _sig(g32[:, :HID])
+                    f = _sig(g32[:, HID:2 * HID])
+                    g = _tanh(g32[:, 2 * HID:3 * HID])
+                    o = _sig(g32[:, 3 * HID:])
                 c = f * g + i * g  # stand-in cell update (same op count)
-                hh = o * jnp.tanh(c)
+                hh = o * _tanh(c)
                 hh = hh * (m.astype(cdt) * 1.25)  # dropout-mask multiply
                 # Widen back to [B, H4] to keep the chain shape (cheap
                 # broadcast concat, identical across cell arms).

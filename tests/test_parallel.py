@@ -340,3 +340,127 @@ def test_chained_meta_step_dp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_meta_shardmap_2d_matches_single_device():
+    """The shard_map dp x sp meta step (parallel/meta_sp.py) must match the
+    single-device step exactly (dropout off: per-shard rng streams are the
+    one permitted divergence). The XLA LSTM route is compared here — the
+    observed losses are BIT-identical; the fused-kernel route cannot run on
+    a CPU mesh (Pallas interpret mode hits a JAX 0.9 lowering bug under
+    manual axes — 'closed_call' KeyError in mlir.py cached lowerings), so
+    kernel-engaged sharding is validated on TPU by
+    benchmarks/shardmap_meta_probe.py instead."""
+    import dataclasses
+
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+        make_mesh_2d,
+        shard_task_batch_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+        make_shardmap_meta_step_2d,
+    )
+
+    model_cfg = dataclasses.replace(MODEL_CFG, lstm_kernel="xla")
+    meta_cfg = MetaConfig(
+        meta_batch=4,
+        grad_accum=2,
+        inner_epochs=1,
+        inner_batches=2,
+        query_train_mode=False,
+    )
+    tasks = _build(meta_cfg)
+    tasks = jax.tree.map(jnp.asarray, tasks)
+
+    state0 = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+    single = make_jit_meta_step(model_cfg, meta_cfg)
+    s1, m1 = single(state0, tasks, jax.random.key(7))
+
+    mesh = make_mesh_2d(2, 2)
+    state0b = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+    par = make_shardmap_meta_step_2d(
+        model_cfg, meta_cfg, mesh, donate_state=False
+    )
+    sharded = shard_task_batch_2d(tasks, mesh)
+    s2, m2 = par(state0b, sharded, jax.random.key(7))
+
+    np.testing.assert_allclose(
+        np.asarray(m1["per_task_loss"]),
+        np.asarray(m2["per_task_loss"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_meta_shardmap_2d_dropout_trains():
+    """With dropout ON the shard_map step draws per-shard mask streams (a
+    different-but-valid stream vs unsharded) — it must stay finite and
+    actually move the parameters."""
+    import dataclasses
+
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+        make_mesh_2d,
+        shard_task_batch_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+        make_shardmap_meta_step_2d,
+    )
+
+    model_cfg = dataclasses.replace(
+        MODEL_CFG, lstm_kernel="xla", lstm_layers=2,
+        gcn_dropout=0.3, lstm_dropout=0.3,
+    )
+    meta_cfg = MetaConfig(
+        meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=2,
+    )
+    tasks = _build(meta_cfg)
+    mesh = make_mesh_2d(2, 2)
+    state0 = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+    par = make_shardmap_meta_step_2d(
+        model_cfg, meta_cfg, mesh, donate_state=False
+    )
+    s1, m1 = par(
+        state0, shard_task_batch_2d(jax.tree.map(jnp.asarray, tasks), mesh),
+        jax.random.key(3),
+    )
+    assert np.isfinite(float(m1["meta_loss"]))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(state0.params), jax.tree.leaves(s1.params)
+        )
+    )
+    assert moved
+
+
+def test_meta_shardmap_rejections():
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh_2d
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+        make_shardmap_meta_step_2d,
+    )
+    import dataclasses
+
+    mesh = make_mesh_2d(4, 2)
+    with pytest.raises(ValueError):  # uneven dp shard
+        make_shardmap_meta_step_2d(
+            MODEL_CFG,
+            MetaConfig(meta_batch=6, grad_accum=2, inner_epochs=1, inner_batches=2),
+            mesh,
+        )
+    with pytest.raises(ValueError):  # second-order unsupported
+        make_shardmap_meta_step_2d(
+            MODEL_CFG,
+            MetaConfig(meta_batch=8, grad_accum=2, second_order=True,
+                       inner_epochs=1, inner_batches=2),
+            mesh,
+        )
+    with pytest.raises(ValueError):  # non-hybrid family
+        make_shardmap_meta_step_2d(
+            dataclasses.replace(MODEL_CFG, family="stgcn"),
+            MetaConfig(meta_batch=8, grad_accum=2, inner_epochs=1, inner_batches=2),
+            mesh,
+        )

@@ -332,6 +332,11 @@ class MeshConfig:
     num_devices: int = 0  # 0 -> use all available
     spatial_axis: str = "sp"
     spatial_devices: int = 1  # >1 -> 2-D dp x sp mesh
+    # 2-D meta-step implementation: "gspmd" (sharding constraints, XLA model
+    # routes — supports every family and second-order) or "shardmap"
+    # (parallel/meta_sp.py: manual collectives with the fused Pallas kernels
+    # engaged per shard — hybrid family, first-order only).
+    sp_impl: str = "gspmd"
 
 
 @dataclass(frozen=True)

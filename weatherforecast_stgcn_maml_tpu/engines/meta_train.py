@@ -170,14 +170,32 @@ def run_meta_training(
         else None
     )
     if mesh is not None and sp_axis is not None:
-        from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
-            make_parallel_meta_step_2d,
-        )
+        if cfg.mesh.sp_impl == "shardmap":
+            # Manual-collective 2-D step: fused Pallas kernels engage per
+            # node shard (parallel/meta_sp.py). Hybrid + first-order only;
+            # misconfiguration raises loudly there.
+            from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+                make_shardmap_meta_step_2d,
+            )
 
-        meta_step = make_parallel_meta_step_2d(
-            model_cfg, meta_cfg, mesh,
-            dp_axis=cfg.mesh.data_axis, sp_axis=sp_axis,
-        )
+            meta_step = make_shardmap_meta_step_2d(
+                model_cfg, meta_cfg, mesh,
+                dp_axis=cfg.mesh.data_axis, sp_axis=sp_axis,
+            )
+        elif cfg.mesh.sp_impl == "gspmd":
+            from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
+                make_parallel_meta_step_2d,
+            )
+
+            meta_step = make_parallel_meta_step_2d(
+                model_cfg, meta_cfg, mesh,
+                dp_axis=cfg.mesh.data_axis, sp_axis=sp_axis,
+            )
+        else:
+            raise ValueError(
+                f"mesh.sp_impl={cfg.mesh.sp_impl!r}: expected 'gspmd' or "
+                "'shardmap'"
+            )
     elif mesh is not None:
         from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
             make_parallel_meta_step,
@@ -303,7 +321,7 @@ def run_meta_training(
         chained_step = make_jit_chained_meta_step(
             model_cfg, meta_cfg, mesh=mesh,
             axis=cfg.mesh.data_axis if mesh is not None else "dp",
-            sp_axis=sp_axis,
+            sp_axis=sp_axis, sp_impl=cfg.mesh.sp_impl,
         )
     base_key = make_key(meta_cfg.seed + 1, meta_cfg.rng_impl)
 

@@ -111,6 +111,23 @@ class force_interpret:
         _FORCE_INTERPRET = self._saved
 
 
+def _join_vma(*arrays):
+    """Union of the inputs' varying-manual-axes (shard_map VMA tracking).
+
+    A pallas_call traced inside a check_vma=True `jax.shard_map` must state
+    how its outputs vary across mesh axes (ShapeDtypeStruct's `vma`); the
+    kernels are elementwise-in-batch over their operands, so outputs vary
+    wherever any input does. Outside shard_map every vma is empty and this
+    is a no-op.
+    """
+    vma = frozenset()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vma = vma | v
+    return vma
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -400,6 +417,7 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret,
         )
     )
     args = [x, wx0, wxr, wh, b2d] + ([masks] if has_masks else [])
+    vma = _join_vma(*args)
     rd = _res_dtype(compute_dtype)
     h_all, c_all, h_last = pl.pallas_call(
         kernel,
@@ -407,9 +425,9 @@ def _fwd_pallas(x, wx0, wxr, wh, b2d, masks, compute_dtype, interpret,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -514,6 +532,7 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
         )
     )
     args = [g, x, h_all, h_all, c_all, c_all, wx0, wxr, wh, b2d]
+    vma = _join_vma(*args)
     if has_masks:
         args.append(masks)
     dx, dwx0, dwxr, dwh, db = pl.pallas_call(
@@ -522,11 +541,13 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, c_in), x.dtype),
-            jax.ShapeDtypeStruct((c_in, g4), jnp.float32),
-            jax.ShapeDtypeStruct((max(n_layers - 1, 1), hidden, g4), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, hidden, g4), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, c_in), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((c_in, g4), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct(
+                (max(n_layers - 1, 1), hidden, g4), jnp.float32, vma=vma
+            ),
+            jax.ShapeDtypeStruct((n_layers, hidden, g4), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -796,6 +817,7 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     )
     last_spec = pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM)
     args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
+    vma = _join_vma(*args)
     rd = _res_dtype(compute_dtype)
     if not emit_residuals:
         # No-grad primal (eval/serving): skip the 2*L*T*B*H residual stream
@@ -817,7 +839,9 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
             grid=(t,),
             in_specs=in_specs,
             out_specs=[last_spec],
-            out_shape=[jax.ShapeDtypeStruct((b, hidden), jnp.float32)],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hidden), jnp.float32, vma=vma)
+            ],
             scratch_shapes=[
                 pltpu.VMEM((n_layers, b, hidden), jnp.float32),
                 pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -843,9 +867,9 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
         in_specs=in_specs,
         out_specs=[res_spec, res_spec, last_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -916,18 +940,19 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]
     if has_masks:
         args.append(masks)
+    vma = _join_vma(*args)
     dx, dwcat0, dwcatr, db = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, c_in), x.dtype),
-            jax.ShapeDtypeStruct((c_in + hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, c_in), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((c_in + hidden, g4), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct(
-                (max(n_layers - 1, 1), 2 * hidden, g4), jnp.float32
+                (max(n_layers - 1, 1), 2 * hidden, g4), jnp.float32, vma=vma
             ),
-            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, g4), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_layers, b, hidden), jnp.float32),
@@ -1221,6 +1246,7 @@ def _fwd_pallas_mv(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
         )
     )
     args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
+    vma = _join_vma(*args)
     rd = _res_dtype(compute_dtype)
     h_all, c_all, h_last = pl.pallas_call(
         kernel,
@@ -1228,9 +1254,9 @@ def _fwd_pallas_mv(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd),
-            jax.ShapeDtypeStruct((nv, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((nv, n_layers, t, b, hidden), rd, vma=vma),
+            jax.ShapeDtypeStruct((nv, b, hidden), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),
@@ -1309,16 +1335,17 @@ def _bwd_pallas_mv(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]
     if has_masks:
         args.append(masks)
+    vma = _join_vma(*args)
     dx, dwcat0, dwcatr, db = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((nv, t, b, c_in), x.dtype),
-            jax.ShapeDtypeStruct((nv, c_in + hidden, g4), jnp.float32),
-            jax.ShapeDtypeStruct((nv, lr, 2 * hidden, g4), jnp.float32),
-            jax.ShapeDtypeStruct((nv, n_layers, g4), jnp.float32),
+            jax.ShapeDtypeStruct((nv, t, b, c_in), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((nv, c_in + hidden, g4), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nv, lr, 2 * hidden, g4), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nv, n_layers, g4), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((nv, n_layers, b, hidden), jnp.float32),

@@ -115,6 +115,69 @@ def make_spatial_forward(model_cfg: ModelConfig, mesh, axis: str = "sp"):
     return jax.jit(sharded)
 
 
+def hybrid_local_forward(
+    params,
+    a_rows,
+    x_local,
+    koppen,
+    model_cfg: ModelConfig,
+    axis: str,
+    *,
+    train: bool = False,
+    rng=None,
+):
+    """Node-sharded hybrid forward for use INSIDE a shard_map body.
+
+    Args:
+      a_rows: [N/d, N] this device's adjacency row block.
+      x_local: [W, N/d, C] this device's node shard of the window.
+      rng: UNSHARDED key (identical across shards); dropout folds in the
+        shard index so every shard draws an independent stream — same
+        convention as `make_spatial_train_step`. None disables dropout.
+    Returns [H, N/d, 12] local predictions.
+
+    The fused LSTM stack kernel engages per shard when the LOCAL row count
+    passes its VMEM gate (`model_cfg.lstm_kernel` forwarded to apply_lstm)
+    — the node axis is the LSTM batch axis, so sharding it shrinks each
+    kernel instance back under the gate. The GCN stack stays on XLA dots
+    with one all-gather per layer (`_spatial_encoder`): its whole-stack
+    fused kernel needs full-N activations resident, which is exactly what
+    the sp axis exists to avoid.
+    """
+    w, n_local, _ = x_local.shape
+    if rng is not None:
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        enc_rng, lstm_rng, head_rng = jax.random.split(shard_rng, 3)
+    else:
+        enc_rng = lstm_rng = head_rng = None
+    emb = params["koppen"][koppen]
+    emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
+    h = jnp.concatenate([x_local, emb.astype(x_local.dtype)], axis=-1)
+    h = _spatial_encoder(
+        params["encoder"], a_rows, h, model_cfg, axis, train=train, rng=enc_rng
+    )
+    if model_cfg.stop_base_gradients:
+        # Same honest-freeze semantics as the single-device path
+        # (models/hybrid.py); pair with an optax.masked optimizer to
+        # also exclude the encoder from weight decay.
+        h = jax.lax.stop_gradient(h)
+    h = jnp.swapaxes(h, 0, 1)  # [N/d, W, hidden]
+    dtype = resolve_dtype(model_cfg.compute_dtype)
+    feat = apply_lstm(
+        params["lstm"], h,
+        dropout_rate=model_cfg.lstm_dropout, train=train, rng=lstm_rng,
+        compute_dtype=dtype,
+        unroll=model_cfg.lstm_unroll,  # 0 = full (normalized in apply_lstm)
+        kernel=model_cfg.lstm_kernel,
+    )
+    from weatherforecast_stgcn_maml_tpu.models.common import dropout
+
+    feat = dropout(feat, model_cfg.lstm_dropout, head_rng, train=train)
+    out = apply_dense(params["head"], feat, compute_dtype=dtype)
+    out = out.reshape(n_local, model_cfg.horizon, model_cfg.num_weather_vars)
+    return jnp.swapaxes(out, 0, 1)  # [H, N/d, 12]
+
+
 def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
     """Node-sharded TRAINING step for grids beyond one chip's activation
     memory: forward and backward both run with the node axis sharded
@@ -135,37 +198,10 @@ def make_spatial_train_step(model_cfg: ModelConfig, mesh, tx, axis: str = "sp"):
     """
 
     def local_fwd(params, a_rows, x_local, koppen, rng):
-        w, n_local, _ = x_local.shape
-        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        enc_rng, lstm_rng, head_rng = jax.random.split(shard_rng, 3)
-        emb = params["koppen"][koppen]
-        emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
-        h = jnp.concatenate([x_local, emb.astype(x_local.dtype)], axis=-1)
-        h = _spatial_encoder(
-            params["encoder"], a_rows, h, model_cfg, axis, train=True, rng=enc_rng
+        return hybrid_local_forward(
+            params, a_rows, x_local, koppen, model_cfg, axis,
+            train=True, rng=rng,
         )
-        if model_cfg.stop_base_gradients:
-            # Same honest-freeze semantics as the single-device path
-            # (models/hybrid.py); pair with an optax.masked optimizer to
-            # also exclude the encoder from weight decay.
-            h = jax.lax.stop_gradient(h)
-        h = jnp.swapaxes(h, 0, 1)
-        feat = apply_lstm(
-            params["lstm"], h,
-            dropout_rate=model_cfg.lstm_dropout, train=True, rng=lstm_rng,
-            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
-            unroll=model_cfg.lstm_unroll,  # 0 = full (normalized in apply_lstm)
-            kernel=model_cfg.lstm_kernel,
-        )
-        from weatherforecast_stgcn_maml_tpu.models.common import dropout
-
-        feat = dropout(feat, model_cfg.lstm_dropout, head_rng, train=True)
-        out = apply_dense(
-            params["head"], feat,
-            compute_dtype=resolve_dtype(model_cfg.compute_dtype),
-        )
-        out = out.reshape(n_local, model_cfg.horizon, model_cfg.num_weather_vars)
-        return jnp.swapaxes(out, 0, 1)
 
     def local_loss(params, a_rows, x_local, y_local, koppen, mask_local, rng):
         preds = local_fwd(params, a_rows, x_local, koppen, rng)

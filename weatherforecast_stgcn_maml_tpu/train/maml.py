@@ -318,6 +318,7 @@ def make_chained_meta_step(
     mesh=None,
     axis: str = "dp",
     sp_axis=None,
+    step=None,
 ):
     """Chain k meta steps into ONE compiled dispatch.
 
@@ -341,8 +342,16 @@ def make_chained_meta_step(
     per epoch, so within a chunk it samples from difficulties up to k-1
     epochs stale (engines/meta_train.py documents the checkpoint-cadence
     consequence). Metrics come back stacked with a leading [k] axis.
+
+    `step` optionally supplies a prebuilt (unjitted) meta step with the
+    standard `(state, tasks, rng) -> (state, metrics)` signature — the
+    shard_map 2-D implementation (parallel/meta_sp.py) chains through
+    this hook.
     """
-    step = make_meta_step(model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis)
+    if step is None:
+        step = make_meta_step(
+            model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis
+        )
 
     def chained(state: MamlState, pool: Task, idx_k, base_key, epochs_k):
         def body(st, inp):
@@ -361,6 +370,7 @@ def make_jit_chained_meta_step(
     mesh=None,
     axis: str = "dp",
     sp_axis=None,
+    sp_impl: str = "gspmd",
 ):
     """Jit `make_chained_meta_step`, donating the state.
 
@@ -376,6 +386,17 @@ def make_jit_chained_meta_step(
     if mesh is None:
         return jax.jit(
             make_chained_meta_step(model_cfg, cfg), donate_argnums=(0,)
+        )
+    inner_step = None
+    if sp_axis is not None and sp_impl == "shardmap":
+        # Chain the manual-collective 2-D step (fused kernels per shard)
+        # instead of the GSPMD one; pool sharding below is identical.
+        from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+            make_shardmap_meta_step_2d,
+        )
+
+        inner_step = make_shardmap_meta_step_2d(
+            model_cfg, cfg, mesh, dp_axis=axis, sp_axis=sp_axis, jit=False
         )
     per_update = cfg.meta_batch // max(1, cfg.grad_accum)
     n_dev = mesh.shape[axis] if sp_axis is not None else mesh.devices.size
@@ -403,7 +424,10 @@ def make_jit_chained_meta_step(
             *(NamedSharding(mesh, getattr(specs, f)) for f in Task._fields)
         )
     return jax.jit(
-        make_chained_meta_step(model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis),
+        make_chained_meta_step(
+            model_cfg, cfg, mesh=mesh, axis=axis, sp_axis=sp_axis,
+            step=inner_step,
+        ),
         in_shardings=(rep, pool_sharding, rep, rep, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),

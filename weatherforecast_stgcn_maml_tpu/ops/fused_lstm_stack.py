@@ -111,6 +111,23 @@ class force_interpret:
         _FORCE_INTERPRET = self._saved
 
 
+_PIPE_MAX = 4
+
+
+def _pick_pipe(b: int) -> int:
+    """Row-chain interleave factor for the merged kernels.
+
+    The largest p <= _PIPE_MAX dividing b into 8-row-aligned chains; the
+    measured sweet spot is 4 (cell math fully hidden under the other
+    chains\' dots, benchmarks/lstm_pipe_probe.json), 2 recovers about half
+    the gap, 1 is the un-pipelined layout.
+    """
+    p = _PIPE_MAX
+    while p > 1 and (b % p or (b // p) % 8):
+        p //= 2
+    return max(1, p)
+
+
 def _join_vma(*arrays):
     """Union of the inputs' varying-manual-axes (shard_map VMA tracking).
 
@@ -566,49 +583,91 @@ def _bwd_pallas(g, x, h_all, c_all, wx0, wxr, wh, b2d, masks,
 
 def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
                   h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
-                  *, n_layers, hidden, has_masks, compute_dtype, keep=1.0):
+                  *, n_layers, hidden, has_masks, compute_dtype, keep=1.0,
+                  pipe=1, tb=1):
     # h_out_ref/c_out_ref are None on the no-grad primal path (no backward
     # will consume residuals — eval/serving skips the 2*L*T*B*H HBM stream).
-    t = pl.program_id(0)
+    #
+    # `pipe` splits the batch rows into independent recurrent chains and
+    # interleaves their work: all `pipe` merged dots are issued before any
+    # chain's cell math, so one chain's VPU gate/cell computation overlaps
+    # another's MXU contraction (benchmarks/lstm_pipe_probe.json,
+    # vpu_share_probe.json; ~2% at production shapes). Per-row numerics are
+    # unchanged (dots and cell math are row-local; only the bias broadcast
+    # is shared).
+    #
+    # `tb` processes that many time slices per grid program (the GCN train
+    # kernel's _TIME_BLOCK pattern): the (h, c) state rides Python carry
+    # variables across the in-program slices instead of a scratch
+    # round-trip per step, and per-program block-streaming setup amortizes
+    # tb-fold. The chained-grad probe put the per-grad time at 3.3x the
+    # FLOP floor with tb=1 (benchmarks/pipe_chain_probe.json) — grid-step
+    # overhead, not the dots, is the residual.
+    s = pl.program_id(0)
     emit_res = h_out_ref is not None
     res_dtype = h_out_ref.dtype if emit_res else jnp.float32
 
-    @pl.when(t == 0)
+    @pl.when(s == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    inp = x_ref[0].astype(compute_dtype)  # [B, C]
+    b_rows = x_ref.shape[1]
+    bp = b_rows // pipe
+    sls = [slice(p * bp, (p + 1) * bp) for p in range(pipe)]
     inv_keep = 1.0 / keep if has_masks else 1.0
+    # (h, c) carries live in registers/VMEM values across the block's tb
+    # slices; scratch is read once at block entry and written once at exit.
+    h_c = [[h_scr[l, sl] for sl in sls] for l in range(n_layers)]
+    c_c = [[c_scr[l, sl] for sl in sls] for l in range(n_layers)]
+    for j in range(tb):
+        inps = [x_ref[j, sl].astype(compute_dtype) for sl in sls]
+        for l in range(n_layers):
+            w = (
+                wcat0_ref[:] if l == 0 else wcatr_ref[l - 1]
+            ).astype(compute_dtype)
+            bias = b_ref[pl.ds(l, 1), :]
+            # Phase A — all chains' merged dots back to back on the MXU:
+            # [inp | h_prev] @ [[wx], [wh]], one contraction per chain.
+            gates_p = []
+            for p in range(pipe):
+                xh = jnp.concatenate(
+                    [inps[p], h_c[l][p].astype(compute_dtype)], axis=1
+                )
+                gates_p.append(
+                    jnp.dot(xh, w, preferred_element_type=jnp.float32) + bias
+                )
+            # Phase B — cell math per chain (VPU), overlapping later
+            # chains' phase-A dots and the next layer's first dots.
+            nxt_p = []
+            for p, sl in enumerate(sls):
+                gates = gates_p[p]
+                i = _sigmoid(gates[:, :hidden])
+                f = _sigmoid(gates[:, hidden:2 * hidden])
+                g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+                o = _sigmoid(gates[:, 3 * hidden:])
+                c = f * c_c[l][p] + i * g
+                h = o * jnp.tanh(c)
+                h_c[l][p] = h
+                c_c[l][p] = c
+                if emit_res:
+                    h_out_ref[l, j, sl] = h.astype(res_dtype)
+                    c_out_ref[l, j, sl] = c.astype(res_dtype)
+                if l == n_layers - 1 and j == tb - 1:
+                    h_last_ref[sl] = h
+                if l < n_layers - 1:
+                    nxt = h
+                    if has_masks:
+                        nxt = nxt * (
+                            m_ref[l, j, sl].astype(jnp.float32) * inv_keep
+                        )
+                    nxt_p.append(nxt.astype(compute_dtype))
+            if l < n_layers - 1:
+                inps = nxt_p
     for l in range(n_layers):
-        w = (wcat0_ref[:] if l == 0 else wcatr_ref[l - 1]).astype(compute_dtype)
-        # [inp | h_prev] @ [[wx], [wh]] — one MXU contraction instead of
-        # two summed half-width ones (identical f32-accumulated math).
-        xh = jnp.concatenate(
-            [inp, h_scr[l].astype(compute_dtype)], axis=1
-        )
-        gates = (
-            jnp.dot(xh, w, preferred_element_type=jnp.float32)
-            + b_ref[pl.ds(l, 1), :]
-        )
-        i = _sigmoid(gates[:, :hidden])
-        f = _sigmoid(gates[:, hidden:2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-        o = _sigmoid(gates[:, 3 * hidden:])
-        c = f * c_scr[l] + i * g
-        h = o * jnp.tanh(c)
-        h_scr[l] = h
-        c_scr[l] = c
-        if emit_res:
-            h_out_ref[l, 0] = h.astype(res_dtype)
-            c_out_ref[l, 0] = c.astype(res_dtype)
-        if l == n_layers - 1:
-            h_last_ref[:] = h
-        if l < n_layers - 1:
-            nxt = h
-            if has_masks:
-                nxt = nxt * (m_ref[l, 0].astype(jnp.float32) * inv_keep)
-            inp = nxt.astype(compute_dtype)
+        for p, sl in enumerate(sls):
+            h_scr[l, sl] = h_c[l][p]
+            c_scr[l, sl] = c_c[l][p]
 
 
 def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
@@ -616,8 +675,22 @@ def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
                   dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
                   dh_scr, dc_scr,
                   *, n_layers, hidden, c_in, has_masks, compute_dtype, t_len,
-                  keep=1.0):
-    s = pl.program_id(0)  # time index is T-1-s via the index maps
+                  keep=1.0, pipe=1, tb=1):
+    # `pipe` interleaves independent row chains exactly like _fwd_kernel_m:
+    # each chain's gate recompute / dxh / dwcat dots are issued adjacently
+    # so other chains' VPU cell-gradient math hides under them. Weight/bias
+    # gradients accumulate per-chain partial contractions (f32 adds — same
+    # math, reassociated at chain boundaries).
+    #
+    # `tb` processes that many time slices per grid program (reverse
+    # order): the (dh, dc) carries and the per-layer dwcat/db accumulators
+    # ride Python variables across the block's slices, so scratch/ref
+    # round-trips and block-streaming setup amortize tb-fold. The previous-
+    # block residual refs (h_prev/c_prev, one BLOCK earlier chronologically)
+    # supply h_{t-1}/c_{t-1} for the block's oldest slice; in-block slices
+    # read their own block.
+    s = pl.program_id(0)  # block index is nb-1-s via the index maps
+    nb = t_len // tb
     inv_keep = 1.0 / keep if has_masks else 1.0
 
     @pl.when(s == 0)
@@ -625,90 +698,139 @@ def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
-    at_t0 = s == t_len - 1
+    at_t0 = s == nb - 1  # this block holds absolute time 0 (at j == 0)
     g_in = jnp.where(s == 0, g_ref[:], jnp.zeros_like(g_ref[:]))
 
-    d_from_above = None
-    for l in range(n_layers - 1, -1, -1):
-        h_prev = jnp.where(
-            at_t0,
-            jnp.zeros((), jnp.float32),
-            h_prev_ref[l, 0].astype(jnp.float32),
-        )
-        c_prev = jnp.where(
-            at_t0,
-            jnp.zeros((), jnp.float32),
-            c_prev_ref[l, 0].astype(jnp.float32),
-        )
-        if l == 0:
-            inp = x_ref[0].astype(compute_dtype)
-            w = wcat0_ref[:].astype(compute_dtype)
-            cw = c_in
-        else:
-            inp = h_all_ref[l - 1, 0]
-            if has_masks:
-                inp = inp.astype(jnp.float32) * (
-                    m_ref[l - 1, 0].astype(jnp.float32) * inv_keep
+    b_rows = g_ref.shape[0]
+    bp = b_rows // pipe
+    sls = [slice(p * bp, (p + 1) * bp) for p in range(pipe)]
+
+    dh_c = [[dh_scr[l, sl] for sl in sls] for l in range(n_layers)]
+    dc_c = [[dc_scr[l, sl] for sl in sls] for l in range(n_layers)]
+    dwcat_acc = [None] * n_layers
+    db_acc = [None] * n_layers
+
+    for j in range(tb - 1, -1, -1):
+        d_from_above = [None] * pipe
+        for l in range(n_layers - 1, -1, -1):
+            if l == 0:
+                w = wcat0_ref[:].astype(compute_dtype)
+                cw = c_in
+            else:
+                w = wcatr_ref[l - 1].astype(compute_dtype)
+                cw = hidden
+
+            # Phase A — recompute every chain's (l, t) gates: merged dots.
+            xh_p, gates_p = [], []
+            for p, sl in enumerate(sls):
+                if j > 0:
+                    h_prev = h_all_ref[l, j - 1, sl].astype(jnp.float32)
+                else:
+                    h_prev = jnp.where(
+                        at_t0,
+                        jnp.zeros((), jnp.float32),
+                        h_prev_ref[l, tb - 1, sl].astype(jnp.float32),
+                    )
+                if l == 0:
+                    inp = x_ref[j, sl].astype(compute_dtype)
+                else:
+                    inp = h_all_ref[l - 1, j, sl]
+                    if has_masks:
+                        inp = inp.astype(jnp.float32) * (
+                            m_ref[l - 1, j, sl].astype(jnp.float32) * inv_keep
+                        )
+                    inp = inp.astype(compute_dtype)
+                xh = jnp.concatenate(
+                    [inp, h_prev.astype(compute_dtype)], axis=1
+                )  # [bp, cw + H]
+                xh_p.append(xh)
+                gates_p.append(
+                    jnp.dot(xh, w, preferred_element_type=jnp.float32)
+                    + b_ref[pl.ds(l, 1), :]
                 )
-            inp = inp.astype(compute_dtype)
-            w = wcatr_ref[l - 1].astype(compute_dtype)
-            cw = hidden
 
-        # Recompute this (l, t)'s gates from residuals — one merged dot.
-        xh = jnp.concatenate(
-            [inp, h_prev.astype(compute_dtype)], axis=1
-        )  # [B, cw + H]
-        gates = (
-            jnp.dot(xh, w, preferred_element_type=jnp.float32)
-            + b_ref[pl.ds(l, 1), :]
-        )
-        i = _sigmoid(gates[:, :hidden])
-        f = _sigmoid(gates[:, hidden:2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-        o = _sigmoid(gates[:, 3 * hidden:])
-        tc = jnp.tanh(c_all_ref[l, 0].astype(jnp.float32))
+            # Phase B — cell-gradient VPU math per chain (overlaps phase
+            # A/C dots of other chains).
+            dgates_p = []
+            for p, sl in enumerate(sls):
+                gates = gates_p[p]
+                if j > 0:
+                    c_prev = c_all_ref[l, j - 1, sl].astype(jnp.float32)
+                else:
+                    c_prev = jnp.where(
+                        at_t0,
+                        jnp.zeros((), jnp.float32),
+                        c_prev_ref[l, tb - 1, sl].astype(jnp.float32),
+                    )
+                i = _sigmoid(gates[:, :hidden])
+                f = _sigmoid(gates[:, hidden:2 * hidden])
+                g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+                o = _sigmoid(gates[:, 3 * hidden:])
+                tc = jnp.tanh(c_all_ref[l, j, sl].astype(jnp.float32))
 
-        dh = dh_scr[l]
-        if l == n_layers - 1:
-            dh = dh + g_in
-        if d_from_above is not None:
-            dh = dh + d_from_above
-        dc = dc_scr[l] + dh * o * (1.0 - tc * tc)
-        do_pre = dh * tc * o * (1.0 - o)
-        di_pre = dc * g * i * (1.0 - i)
-        df_pre = dc * c_prev * f * (1.0 - f)
-        dg_pre = dc * i * (1.0 - g * g)
-        dgates = jnp.concatenate(
-            [di_pre, df_pre, dg_pre, do_pre], axis=-1
-        )  # [B, 4H] float32
+                dh = dh_c[l][p]
+                if l == n_layers - 1 and j == tb - 1:
+                    dh = dh + g_in[sl]
+                if d_from_above[p] is not None:
+                    dh = dh + d_from_above[p]
+                dc = dc_c[l][p] + dh * o * (1.0 - tc * tc)
+                do_pre = dh * tc * o * (1.0 - o)
+                di_pre = dc * g * i * (1.0 - i)
+                df_pre = dc * c_prev * f * (1.0 - f)
+                dg_pre = dc * i * (1.0 - g * g)
+                dgates_p.append(jnp.concatenate(
+                    [di_pre, df_pre, dg_pre, do_pre], axis=-1
+                ))  # [bp, 4H] float32
+                dc_c[l][p] = dc * f
 
-        dgates_c = dgates.astype(compute_dtype)
-        # dgates @ W^T in one contraction, then split: first cw lanes are
-        # the input gradient, last H lanes the recurrent carry to t-1.
-        dxh = jax.lax.dot_general(
-            dgates_c, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, cw + H]
-        d_in = dxh[:, :cw]
-        dh_scr[l] = dxh[:, cw:]
-        dc_scr[l] = dc * f
+            # Phase C — every chain's dxh and dwcat contractions.
+            for p, sl in enumerate(sls):
+                xh = xh_p[p]
+                dgates = dgates_p[p]
+                dgates_c = dgates.astype(compute_dtype)
+                # dgates @ W^T in one contraction, then split: first cw
+                # lanes are the input gradient, last H the recurrent carry
+                # to t-1.
+                dxh = jax.lax.dot_general(
+                    dgates_c, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bp, cw + H]
+                d_in = dxh[:, :cw]
+                dh_c[l][p] = dxh[:, cw:]
 
-        if l == 0:
-            dx_ref[0] = d_in.astype(dx_ref.dtype)
-            d_from_above = None
-        else:
-            if has_masks:
-                d_in = d_in * (m_ref[l - 1, 0].astype(jnp.float32) * inv_keep)
-            d_from_above = d_in
+                if l == 0:
+                    dx_ref[j, sl] = d_in.astype(dx_ref.dtype)
+                    d_from_above[p] = None
+                else:
+                    if has_masks:
+                        d_in = d_in * (
+                            m_ref[l - 1, j, sl].astype(jnp.float32) * inv_keep
+                        )
+                    d_from_above[p] = d_in
 
-        # Merged weight gradient: [inp | h_prev]^T @ dgates — one
-        # contraction whose rows split back into (dwx, dwh) outside.
-        dwcat_upd = jax.lax.dot_general(
-            xh, dgates_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [cw + H, 4H]
-        db_upd = jnp.sum(dgates, axis=0, keepdims=True)  # [1, 4H]
+                # Merged weight gradient: [inp | h_prev]^T @ dgates — per-
+                # chain contraction, chains and block slices summed in f32
+                # (rows split back into (dwx, dwh) outside).
+                part = jax.lax.dot_general(
+                    xh, dgates_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [cw + H, 4H]
+                dwcat_acc[l] = (
+                    part if dwcat_acc[l] is None else dwcat_acc[l] + part
+                )
+                db_part = jnp.sum(dgates, axis=0, keepdims=True)  # [1, 4H]
+                db_acc[l] = (
+                    db_part if db_acc[l] is None else db_acc[l] + db_part
+                )
 
+    for l in range(n_layers):
+        for p, sl in enumerate(sls):
+            dh_scr[l, sl] = dh_c[l][p]
+            dc_scr[l, sl] = dc_c[l][p]
+
+    for l in range(n_layers - 1, -1, -1):
+        dwcat_upd = dwcat_acc[l]
+        db_upd = db_acc[l]
         if l == 0:
             @pl.when(s == 0)
             def _(dwcat_upd=dwcat_upd):
@@ -742,34 +864,34 @@ def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
 
 def _fwd_kernel_m_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
                          h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
-                         *, n_layers, hidden, compute_dtype):
+                         *, n_layers, hidden, compute_dtype, pipe=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, None,
         h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, pipe=pipe,
     )
 
 
 def _fwd_kernel_m_lastonly(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
                            h_last_ref, h_scr, c_scr,
-                           *, n_layers, hidden, compute_dtype, keep):
+                           *, n_layers, hidden, compute_dtype, keep, pipe=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
         None, None, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=True,
-        compute_dtype=compute_dtype, keep=keep,
+        compute_dtype=compute_dtype, keep=keep, pipe=pipe,
     )
 
 
 def _fwd_kernel_m_lastonly_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
                                   h_last_ref, h_scr, c_scr,
-                                  *, n_layers, hidden, compute_dtype):
+                                  *, n_layers, hidden, compute_dtype, pipe=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, None,
         None, None, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, pipe=pipe,
     )
 
 
@@ -777,13 +899,14 @@ def _bwd_kernel_m_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
                          c_prev_ref, wcat0_ref, wcatr_ref, b_ref,
                          dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
                          dh_scr, dc_scr,
-                         *, n_layers, hidden, c_in, compute_dtype, t_len):
+                         *, n_layers, hidden, c_in, compute_dtype, t_len,
+                         pipe=1):
     _bwd_kernel_m(
         g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         wcat0_ref, wcatr_ref, b_ref, None,
         dx_ref, dwcat0_ref, dwcatr_ref, db_ref, dh_scr, dc_scr,
         n_layers=n_layers, hidden=hidden, c_in=c_in, has_masks=False,
-        compute_dtype=compute_dtype, t_len=t_len,
+        compute_dtype=compute_dtype, t_len=t_len, pipe=pipe,
     )
 
 
@@ -818,6 +941,7 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     last_spec = pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM)
     args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
     vma = _join_vma(*args)
+    pipe = _pick_pipe(b)
     rd = _res_dtype(compute_dtype)
     if not emit_residuals:
         # No-grad primal (eval/serving): skip the 2*L*T*B*H residual stream
@@ -826,12 +950,12 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
         kernel = (
             functools.partial(
                 _fwd_kernel_m_lastonly, n_layers=n_layers, hidden=hidden,
-                compute_dtype=compute_dtype, keep=keep,
+                compute_dtype=compute_dtype, keep=keep, pipe=pipe,
             )
             if has_masks
             else functools.partial(
                 _fwd_kernel_m_lastonly_nomask, n_layers=n_layers,
-                hidden=hidden, compute_dtype=compute_dtype,
+                hidden=hidden, compute_dtype=compute_dtype, pipe=pipe,
             )
         )
         h_last = pl.pallas_call(
@@ -853,12 +977,12 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     kernel = (
         functools.partial(
             _fwd_kernel_m, n_layers=n_layers, hidden=hidden, has_masks=True,
-            compute_dtype=compute_dtype, keep=keep,
+            compute_dtype=compute_dtype, keep=keep, pipe=pipe,
         )
         if has_masks
         else functools.partial(
             _fwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, pipe=pipe,
         )
     )
     h_all, c_all, h_last = pl.pallas_call(
@@ -930,11 +1054,13 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
         functools.partial(
             _bwd_kernel_m, n_layers=n_layers, hidden=hidden, c_in=c_in,
             has_masks=True, compute_dtype=compute_dtype, t_len=t, keep=keep,
+            pipe=_pick_pipe(b),
         )
         if has_masks
         else functools.partial(
             _bwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
             c_in=c_in, compute_dtype=compute_dtype, t_len=t,
+            pipe=_pick_pipe(b),
         )
     )
     args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]

@@ -65,3 +65,40 @@ def test_fused_stack_vmem_guard():
     w = [np.zeros((24, 256), np.float32)] + [np.zeros((256, 256), np.float32)] * 3
     assert _stack_fits_vmem(w, 512, 24)
     assert not _stack_fits_vmem(w, 2048, 24)
+
+
+def test_masked_freeze_zeroes_frozen_updates():
+    """Frozen (mask=False) leaves must get EXACTLY zero updates.
+
+    Bare optax.masked passes non-masked updates through UNCHANGED (the raw
+    gradient) — with the framework's `p - lr*u` application that silently
+    trains "frozen" subtrees by plain SGD (caught live: the Koppen table
+    leaked ~1e-6/step under train_koppen_embedding=False)."""
+    import jax.numpy as jnp
+    import optax
+
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import masked_freeze
+
+    tx, _ = adaptation_optimizer("Moscow", 1e-3)
+    mask = {"a": True, "koppen": False}
+    frozen = masked_freeze(tx, mask)
+    params = {"a": jnp.ones(3), "koppen": jnp.ones(3)}
+    grads = {"a": jnp.full(3, 0.5), "koppen": jnp.full(3, 0.5)}
+    state = frozen.init(params)
+    updates, _ = frozen.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["koppen"]), 0.0)
+    assert np.all(np.asarray(updates["a"]) != 0.0)
+
+    # The buggy pattern: bare masked leaks the raw gradient through.
+    leaky = optax.masked(tx, mask)
+    lu, _ = leaky.update(grads, leaky.init(params), params)
+    np.testing.assert_array_equal(np.asarray(lu["koppen"]), 0.5)
+
+    # Trainable-leaf updates are bit-identical to the unwrapped chain over
+    # the trainable subtree alone (clip norm must exclude frozen grads).
+    solo_u, _ = tx.update(
+        {"a": grads["a"]}, tx.init({"a": params["a"]}), {"a": params["a"]}
+    )
+    np.testing.assert_array_equal(
+        np.asarray(updates["a"]), np.asarray(solo_u["a"])
+    )

@@ -32,7 +32,25 @@ CFG = ModelConfig(
 )
 
 
+def _canon(params):
+    """Fuse split LSTM biases so native (fused `b`) and torch-imported
+    (`b_ih`/`b_hh`) trees compare on effective values. Import keeps the
+    split deliberately (optimizer-semantics parity, utils/torch_import.py),
+    so a native->export->import roundtrip is bit-equal only up to it."""
+    from weatherforecast_stgcn_maml_tpu.models.common import lstm_bias
+
+    out = {k: v for k, v in params.items()}
+    out["lstm"] = {
+        "layers": [
+            {"wx": l["wx"], "wh": l["wh"], "b": np.asarray(lstm_bias(l))}
+            for l in params["lstm"]["layers"]
+        ]
+    }
+    return out
+
+
 def _tree_equal(a, b):
+    a, b = _canon(a), _canon(b)
     la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
     assert len(la) == len(lb)
     for x, y in zip(la, lb):

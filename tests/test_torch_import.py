@@ -70,9 +70,19 @@ def test_params_from_state_dicts_shapes_and_values():
     np.testing.assert_array_equal(
         params["koppen"], koppen["embedding.weight"].numpy()
     )
-    b = params["lstm"]["layers"][1]["b"]
+    # Import keeps torch's two bias copies as separate leaves (optimizer-
+    # semantics parity); the forward consumes their sum via lstm_bias.
+    layer1 = params["lstm"]["layers"][1]
+    np.testing.assert_array_equal(
+        layer1["b_ih"], hybrid["lstm.bias_ih_l1"].numpy()
+    )
+    np.testing.assert_array_equal(
+        layer1["b_hh"], hybrid["lstm.bias_hh_l1"].numpy()
+    )
+    from weatherforecast_stgcn_maml_tpu.models.common import lstm_bias
+
     np.testing.assert_allclose(
-        b,
+        np.asarray(lstm_bias(layer1)),
         (hybrid["lstm.bias_ih_l1"] + hybrid["lstm.bias_hh_l1"]).numpy(),
         rtol=1e-6,
     )

@@ -230,3 +230,41 @@ def test_distributed_partial_topology_raises(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     with pytest.raises(RuntimeError, match="partial multi-process"):
         initialize(process_id=3)
+
+
+def test_load_checkpoint_saved_structure_wins_over_template():
+    """A checkpoint whose params layout differs from the template (torch-
+    imported split LSTM biases vs native fused `b`) must restore the SAVED
+    leaves — orbax partial_restore would silently keep the template's
+    random-init values for paths missing from the checkpoint, which
+    corrupted adaptation-from-imported-weights runs
+    (benchmarks/recipe_parity.py)."""
+    import tempfile
+
+    import jax
+
+    from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+    from weatherforecast_stgcn_maml_tpu.models.registry import init_model
+
+    cfg = ModelConfig(
+        hidden_channels=8, gcn_layers=2, lstm_hidden=6, lstm_layers=2,
+        window=4, horizon=2, koppen_dim=4,
+    )
+    template = init_model(jax.random.key(0), cfg)
+    params = jax.tree.map(np.asarray, init_model(jax.random.key(1), cfg))
+    for layer in params["lstm"]["layers"]:
+        b = layer.pop("b")
+        layer["b_ih"] = b * 0.25
+        layer["b_hh"] = b * 0.75
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt")
+        save_checkpoint(path, {"params": params}, {"epoch": 0})
+        arrays, _ = load_checkpoint(path, like={"params": template})
+    layer0 = arrays["params"]["lstm"]["layers"][0]
+    assert sorted(layer0.keys()) == ["b_hh", "b_ih", "wh", "wx"]
+    np.testing.assert_array_equal(
+        layer0["b_ih"], params["lstm"]["layers"][0]["b_ih"]
+    )
+    np.testing.assert_array_equal(
+        layer0["wx"], params["lstm"]["layers"][0]["wx"]
+    )

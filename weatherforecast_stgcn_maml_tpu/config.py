@@ -104,6 +104,13 @@ class ModelConfig:
     # around the STGCN base (hybrid_model.py:63, SURVEY quirk 2). When True
     # the encoder output is wrapped in `stop_gradient`, freezing the base.
     stop_base_gradients: bool = False
+    # Whether the model-resident Koppen embedding table receives optimizer
+    # updates. The reference's embedding NEVER trains (quirk 11: detached
+    # into features at task build, featurePreprocessor.py:169-177; excluded
+    # from the adaptation optimizer, adapt_hybrid_v5.py:172). Default True —
+    # the table is in the model precisely so it can learn; set False for
+    # reference-recipe semantics (tests/test_recipe_parity.py).
+    train_koppen_embedding: bool = True
     # Computation dtype for matmuls ("float32" | "bfloat16"). Parameters are
     # always stored float32; bfloat16 compute targets the MXU fast path.
     compute_dtype: str = "float32"

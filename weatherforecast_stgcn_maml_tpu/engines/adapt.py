@@ -89,18 +89,23 @@ _RUNNER_CACHE_MAX = 8
 
 
 def _cached_runners(model_cfg, spec, region_name, base_lr, clip_norm, params):
-    from weatherforecast_stgcn_maml_tpu.train.optimizers import freeze_base_mask
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+        masked_freeze, trainable_mask,
+    )
 
     zone = climate_zone(region_name)
     key = (model_cfg, spec, zone, base_lr, clip_norm)
     if key not in _RUNNER_CACHE:
         tx, lr0 = adaptation_optimizer(region_name, base_lr, clip_norm)
-        if model_cfg.stop_base_gradients:
-            # Frozen base: exclude the encoder from updates AND weight
-            # decay (torch requires_grad=False semantics).
-            import optax
-
-            tx = optax.masked(tx, freeze_base_mask(params))
+        if model_cfg.stop_base_gradients or not model_cfg.train_koppen_embedding:
+            # Frozen subtrees (encoder and/or Koppen table): excluded from
+            # updates AND weight decay (torch requires_grad=False / not-in-
+            # optimizer semantics); the global-norm clip then covers only
+            # the trainable leaves, like torch's clip over
+            # hybrid_model.parameters() (adapt_hybrid_v5.py:200).
+            # masked_freeze (not bare optax.masked) so frozen leaves get
+            # ZERO updates, not the raw gradient passed through.
+            tx = masked_freeze(tx, trainable_mask(params, model_cfg))
         while len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
             _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
         _RUNNER_CACHE[key] = (

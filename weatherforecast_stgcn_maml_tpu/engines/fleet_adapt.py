@@ -120,11 +120,13 @@ def _run_zone_group(cfg, group, zone, meta_params, spec, mesh, meta_ckpt, log_cb
     model_cfg, ad = cfg.model, cfg.adapt
     tx, lr0 = adaptation_optimizer(group[0][1], ad.base_lr, ad.clip_norm)
     if model_cfg.stop_base_gradients:
-        import optax
+        from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+            freeze_base_mask, masked_freeze,
+        )
 
-        from weatherforecast_stgcn_maml_tpu.train.optimizers import freeze_base_mask
-
-        tx = optax.masked(tx, freeze_base_mask(meta_params))
+        # masked_freeze: frozen leaves must get ZERO updates — bare
+        # optax.masked passes the raw gradient through (see optimizers.py).
+        tx = masked_freeze(tx, freeze_base_mask(meta_params))
 
     feats, a_hats, masks, kops, stats_list, graphs, datas = [], [], [], [], [], [], []
     for box, name in group:

@@ -41,6 +41,22 @@ def accum_dtype(compute_dtype):
     return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
 
 
+def lstm_bias(layer: Params) -> jnp.ndarray:
+    """Effective gate bias of one LSTM layer.
+
+    Native params carry one fused bias `b` (torch's b_ih + b_hh is
+    mathematically identical in the forward). Torch-imported params keep
+    the two SEPARATE leaves `b_ih`/`b_hh` instead: under Adam the split is
+    semantically meaningful — both copies receive the same gradient, each
+    gets a full preconditioned step, so the effective bias sum moves at 2x
+    the fused rate, and the global clip norm counts the bias twice. Summing
+    here (not at import) keeps training-recipe parity with the reference
+    (tests/test_recipe_parity.py) while every compute path stays fused."""
+    if "b" in layer:
+        return layer["b"]
+    return layer["b_ih"] + layer["b_hh"]
+
+
 def apply_dense(p: Params, x: jnp.ndarray, *, compute_dtype=jnp.float32) -> jnp.ndarray:
     w = p["w"].astype(compute_dtype)
     return (

@@ -21,6 +21,7 @@ from weatherforecast_stgcn_maml_tpu.models.common import (
     Params,
     accum_dtype,
     dropout,
+    lstm_bias,
     scaled_uniform,
 )
 from weatherforecast_stgcn_maml_tpu.ops.lstm_scan import lstm_recurrence
@@ -55,7 +56,7 @@ def _lstm_layer(
     """One LSTM layer over time-major input [T, B, C] -> outputs [T, B, H]."""
     acc = accum_dtype(compute_dtype)
     wx = p["wx"].astype(compute_dtype)
-    bias = p["b"]
+    bias = lstm_bias(p)
 
     # Hoist the input projection out of the scan: [T, B, C] @ [C, 4H].
     x_proj = (
@@ -122,7 +123,7 @@ def apply_lstm_wavefront(
             layers[0]["wx"].astype(compute_dtype),
             preferred_element_type=acc,
         )
-        + layers[0]["b"]
+        + lstm_bias(layers[0])
     )  # [T, B, 4H]
 
     # Lane-stacked weights: lane l computes [inter-layer input, recurrent]
@@ -143,8 +144,8 @@ def apply_lstm_wavefront(
         ]
     )  # [L, 2H, 4H]
     bias = jnp.stack(
-        [jnp.zeros_like(layers[0]["b"])]
-        + [layers[l]["b"] for l in range(1, n_layers)]
+        [jnp.zeros_like(lstm_bias(layers[0]))]
+        + [lstm_bias(layers[l]) for l in range(1, n_layers)]
     )  # [L, 4H] (lane 0's bias lives in xproj0)
 
     # Zero carries derived from a traced input (dtype AND device-varying

@@ -29,6 +29,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from weatherforecast_stgcn_maml_tpu.models.common import lstm_bias
+
 from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm
 
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
@@ -51,7 +53,7 @@ def fits_vmem(params, t: int) -> bool:
     if hidden % 128 or c_in % 128:
         return False
     weights = sum(
-        (l["wx"].size + l["wh"].size + l["b"].size) * 4 for l in layers
+        (l["wx"].size + l["wh"].size + lstm_bias(l).size) * 4 for l in layers
     )
     # Double-buffered input block + h/xp scratches.
     tile_bufs = _TILE * t * (2 * c_in + hidden + 4 * hidden) * 4
@@ -127,7 +129,7 @@ def _pallas_forward(params, x, compute_dtype):
         pl.BlockSpec(l["wh"].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for l in layers
     ]
-    b2d = [l["b"].reshape(1, -1) for l in layers]
+    b2d = [lstm_bias(l).reshape(1, -1) for l in layers]
     b_specs = [
         pl.BlockSpec(bb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for bb in b2d

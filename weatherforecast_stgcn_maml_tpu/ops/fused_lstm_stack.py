@@ -47,6 +47,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from weatherforecast_stgcn_maml_tpu.models.common import lstm_bias
 import numpy as np
 
 try:
@@ -126,6 +128,31 @@ def _pick_pipe(b: int) -> int:
     while p > 1 and (b % p or (b // p) % 8):
         p //= 2
     return max(1, p)
+
+
+_TB_MAX = 1
+
+
+def _pick_tb(t: int, est_block_bytes: int) -> int:
+    """Time-block size for the merged kernels.
+
+    Largest divisor of t up to _TB_MAX whose per-program streamed blocks
+    (double-buffered) fit the VMEM budget. Mirrors the GCN train kernel's
+    _TIME_BLOCK — but MEASURED NEUTRAL here and left off by default
+    (_TB_MAX=1): benchmarks/tb_ab_probe.json shows tb=4 flat on the
+    isolated LSTM grad (25.1 vs 25.3 ms) and ~1% slower on the meta step
+    (286.8 vs 291.7 ms best) — Mosaic's automatic block double-buffering
+    already hides per-grid-step stream setup at recurrent shapes, unlike
+    the GCN kernel whose win came from deepening the dW contraction. The
+    grid-overhead hypothesis from benchmarks/pipe_chain_probe.json (LSTM
+    grad at 3.3x its FLOP floor) is thereby ruled out; the residual is the
+    serial recurrent-chain latency itself.
+    """
+    budget = 80 * 1024 * 1024  # leave headroom under the 128 MiB physical
+    tb = min(_TB_MAX, t)
+    while tb > 1 and (t % tb or 2 * tb * est_block_bytes > budget):
+        tb -= 1
+    return max(1, tb)
 
 
 def _join_vma(*arrays):
@@ -864,34 +891,36 @@ def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
 
 def _fwd_kernel_m_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
                          h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
-                         *, n_layers, hidden, compute_dtype, pipe=1):
+                         *, n_layers, hidden, compute_dtype, pipe=1, tb=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, None,
         h_out_ref, c_out_ref, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
-        compute_dtype=compute_dtype, pipe=pipe,
+        compute_dtype=compute_dtype, pipe=pipe, tb=tb,
     )
 
 
 def _fwd_kernel_m_lastonly(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
                            h_last_ref, h_scr, c_scr,
-                           *, n_layers, hidden, compute_dtype, keep, pipe=1):
+                           *, n_layers, hidden, compute_dtype, keep, pipe=1,
+                           tb=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
         None, None, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=True,
-        compute_dtype=compute_dtype, keep=keep, pipe=pipe,
+        compute_dtype=compute_dtype, keep=keep, pipe=pipe, tb=tb,
     )
 
 
 def _fwd_kernel_m_lastonly_nomask(x_ref, wcat0_ref, wcatr_ref, b_ref,
                                   h_last_ref, h_scr, c_scr,
-                                  *, n_layers, hidden, compute_dtype, pipe=1):
+                                  *, n_layers, hidden, compute_dtype, pipe=1,
+                                  tb=1):
     _fwd_kernel_m(
         x_ref, wcat0_ref, wcatr_ref, b_ref, None,
         None, None, h_last_ref, h_scr, c_scr,
         n_layers=n_layers, hidden=hidden, has_masks=False,
-        compute_dtype=compute_dtype, pipe=pipe,
+        compute_dtype=compute_dtype, pipe=pipe, tb=tb,
     )
 
 
@@ -900,13 +929,13 @@ def _bwd_kernel_m_nomask(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref,
                          dx_ref, dwcat0_ref, dwcatr_ref, db_ref,
                          dh_scr, dc_scr,
                          *, n_layers, hidden, c_in, compute_dtype, t_len,
-                         pipe=1):
+                         pipe=1, tb=1):
     _bwd_kernel_m(
         g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,
         wcat0_ref, wcatr_ref, b_ref, None,
         dx_ref, dwcat0_ref, dwcatr_ref, db_ref, dh_scr, dc_scr,
         n_layers=n_layers, hidden=hidden, c_in=c_in, has_masks=False,
-        compute_dtype=compute_dtype, t_len=t_len, pipe=pipe,
+        compute_dtype=compute_dtype, t_len=t_len, pipe=pipe, tb=tb,
     )
 
 
@@ -916,8 +945,16 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     n_layers, g4 = b2d.shape
     hidden = g4 // 4
     has_masks = masks is not None
+    rd = _res_dtype(compute_dtype)
+    # Streamed bytes per time slice: x in, residual h/c out, masks in.
+    slice_bytes = b * c_in * x.dtype.itemsize
+    if emit_residuals:
+        slice_bytes += 2 * n_layers * b * hidden * jnp.dtype(rd).itemsize
+    if has_masks:
+        slice_bytes += (n_layers - 1) * b * hidden
+    tb = _pick_tb(t, slice_bytes)
     in_specs = [
-        pl.BlockSpec((1, b, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, b, c_in), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (c_in + hidden, g4), lambda s: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -930,19 +967,18 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     if has_masks:
         in_specs.append(
             pl.BlockSpec(
-                (n_layers - 1, 1, b, hidden), lambda s: (0, s, 0, 0),
+                (n_layers - 1, tb, b, hidden), lambda s: (0, s, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
     res_spec = pl.BlockSpec(
-        (n_layers, 1, b, hidden), lambda s: (0, s, 0, 0),
+        (n_layers, tb, b, hidden), lambda s: (0, s, 0, 0),
         memory_space=pltpu.VMEM,
     )
     last_spec = pl.BlockSpec((b, hidden), lambda s: (0, 0), memory_space=pltpu.VMEM)
     args = [x, wcat0, wcatr, b2d] + ([masks] if has_masks else [])
     vma = _join_vma(*args)
     pipe = _pick_pipe(b)
-    rd = _res_dtype(compute_dtype)
     if not emit_residuals:
         # No-grad primal (eval/serving): skip the 2*L*T*B*H residual stream
         # entirely — XLA cannot DCE stores inside the opaque kernel, so this
@@ -950,17 +986,17 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
         kernel = (
             functools.partial(
                 _fwd_kernel_m_lastonly, n_layers=n_layers, hidden=hidden,
-                compute_dtype=compute_dtype, keep=keep, pipe=pipe,
+                compute_dtype=compute_dtype, keep=keep, pipe=pipe, tb=tb,
             )
             if has_masks
             else functools.partial(
                 _fwd_kernel_m_lastonly_nomask, n_layers=n_layers,
-                hidden=hidden, compute_dtype=compute_dtype, pipe=pipe,
+                hidden=hidden, compute_dtype=compute_dtype, pipe=pipe, tb=tb,
             )
         )
         h_last = pl.pallas_call(
             kernel,
-            grid=(t,),
+            grid=(t // tb,),
             in_specs=in_specs,
             out_specs=[last_spec],
             out_shape=[
@@ -977,17 +1013,17 @@ def _fwd_pallas_m(x, wcat0, wcatr, b2d, masks, compute_dtype, interpret,
     kernel = (
         functools.partial(
             _fwd_kernel_m, n_layers=n_layers, hidden=hidden, has_masks=True,
-            compute_dtype=compute_dtype, keep=keep, pipe=pipe,
+            compute_dtype=compute_dtype, keep=keep, pipe=pipe, tb=tb,
         )
         if has_masks
         else functools.partial(
             _fwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
-            compute_dtype=compute_dtype, pipe=pipe,
+            compute_dtype=compute_dtype, pipe=pipe, tb=tb,
         )
     )
     h_all, c_all, h_last = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // tb,),
         in_specs=in_specs,
         out_specs=[res_spec, res_spec, last_spec],
         out_shape=[
@@ -1011,18 +1047,27 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     n_layers, g4 = b2d.shape
     hidden = g4 // 4
     has_masks = masks is not None
-    rev3 = lambda s: (t - 1 - s, 0, 0)
-    rev4 = lambda s: (0, t - 1 - s, 0, 0)
-    prev4 = lambda s: (0, jnp.maximum(t - 2 - s, 0), 0, 0)
+    rd_b = h_all.dtype.itemsize
+    # Streamed bytes per time slice: x + dx, 4 residual views, masks.
+    slice_bytes = (
+        b * c_in * (x.dtype.itemsize * 2)
+        + 4 * n_layers * b * hidden * rd_b
+        + ((n_layers - 1) * b * hidden if has_masks else 0)
+    )
+    tb = _pick_tb(t, slice_bytes)
+    nb = t // tb
+    rev3 = lambda s: (nb - 1 - s, 0, 0)
+    rev4 = lambda s: (0, nb - 1 - s, 0, 0)
+    prev4 = lambda s: (0, jnp.maximum(nb - 2 - s, 0), 0, 0)
     const2 = lambda s: (0, 0)
     const3 = lambda s: (0, 0, 0)
     in_specs = [
         pl.BlockSpec((b, hidden), const2, memory_space=pltpu.VMEM),    # g
-        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # x
-        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_layers, 1, b, hidden), rev4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_layers, 1, b, hidden), prev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, b, c_in), rev3, memory_space=pltpu.VMEM),    # x
+        pl.BlockSpec((n_layers, tb, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, tb, b, hidden), prev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, tb, b, hidden), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_layers, tb, b, hidden), prev4, memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (c_in + hidden, g4), const2, memory_space=pltpu.VMEM
         ),
@@ -1035,12 +1080,12 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     if has_masks:
         in_specs.append(
             pl.BlockSpec(
-                (n_layers - 1, 1, b, hidden), lambda s: (0, t - 1 - s, 0, 0),
+                (n_layers - 1, tb, b, hidden), lambda s: (0, nb - 1 - s, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
     out_specs = [
-        pl.BlockSpec((1, b, c_in), rev3, memory_space=pltpu.VMEM),     # dx
+        pl.BlockSpec((tb, b, c_in), rev3, memory_space=pltpu.VMEM),    # dx
         pl.BlockSpec(
             (c_in + hidden, g4), const2, memory_space=pltpu.VMEM
         ),
@@ -1054,13 +1099,13 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
         functools.partial(
             _bwd_kernel_m, n_layers=n_layers, hidden=hidden, c_in=c_in,
             has_masks=True, compute_dtype=compute_dtype, t_len=t, keep=keep,
-            pipe=_pick_pipe(b),
+            pipe=_pick_pipe(b), tb=tb,
         )
         if has_masks
         else functools.partial(
             _bwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
             c_in=c_in, compute_dtype=compute_dtype, t_len=t,
-            pipe=_pick_pipe(b),
+            pipe=_pick_pipe(b), tb=tb,
         )
     )
     args = [g, x, h_all, h_all, c_all, c_all, wcat0, wcatr, b2d]
@@ -1069,7 +1114,7 @@ def _bwd_pallas_m(g, x, h_all, c_all, wcat0, wcatr, b2d, masks,
     vma = _join_vma(*args)
     dx, dwcat0, dwcatr, db = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
@@ -1914,7 +1959,7 @@ def lstm_stack_last_all(
     if merged is None:
         merged = _MERGED_GATES
 
-    b2d = jnp.stack([layers[l]["b"] for l in range(n_layers)])
+    b2d = jnp.stack([lstm_bias(layers[l]) for l in range(n_layers)])
 
     keep = 1.0
     if masks is not None:

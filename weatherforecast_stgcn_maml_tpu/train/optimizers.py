@@ -71,6 +71,28 @@ def cosine_warm_restarts(
     return schedule
 
 
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clip with torch.nn.utils.clip_grad_norm_ semantics.
+
+    torch scales by max_norm / (norm + 1e-6) when norm > max_norm;
+    optax.clip_by_global_norm scales by min(1, max_norm / norm). The eps
+    makes the clipped step ~1e-6 relatively smaller — numerically tiny but
+    enough to fork an fp32 training trajectory from the reference's within
+    a few epochs (benchmarks/recipe_parity.py). All chains use this variant
+    so clipping is bit-consistent with clip_global_norm_tree and torch."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        clipped, _ = clip_global_norm_tree(updates, max_norm)
+        return clipped, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def meta_optimizer(cfg: MetaConfig) -> tuple[optax.GradientTransformation, callable]:
     """Outer-loop AdamW + warm-restart schedule + global clip.
 
@@ -83,7 +105,7 @@ def meta_optimizer(cfg: MetaConfig) -> tuple[optax.GradientTransformation, calla
         steps_per_epoch=max(1, cfg.grad_accum),
     )
     tx = optax.chain(
-        optax.clip_by_global_norm(cfg.clip_norm),
+        clip_by_global_norm_torch(cfg.clip_norm),
         optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay),
     )
     return tx, schedule
@@ -104,7 +126,7 @@ def adaptation_optimizer(
     lr = base_lr * CLIMATE_LR_MULT[zone]
     wd = CLIMATE_WEIGHT_DECAY[zone]
     tx = optax.chain(
-        optax.clip_by_global_norm(clip_norm),
+        clip_by_global_norm_torch(clip_norm),
         optax.add_decayed_weights(wd),
         optax.scale_by_adam(),
     )
@@ -158,6 +180,50 @@ def freeze_base_mask(params_template) -> dict:
         )
         for k, v in params_template.items()
     }
+
+
+def trainable_mask(params_template, model_cfg) -> dict:
+    """Pytree mask from ModelConfig freeze flags (optax.masked).
+
+    False (frozen, no update and no weight decay) for the STGCN encoder
+    when `stop_base_gradients`, and for the Koppen table when
+    `train_koppen_embedding` is off (reference quirk 11 — the embedding is
+    excluded from the adaptation optimizer, adapt_hybrid_v5.py:172)."""
+    import jax
+
+    def keep(k):
+        if k == "encoder":
+            return not model_cfg.stop_base_gradients
+        if k == "koppen":
+            return model_cfg.train_koppen_embedding
+        return True
+
+    return {
+        k: jax.tree.map(lambda _: keep(k), v)
+        for k, v in params_template.items()
+    }
+
+
+def masked_freeze(tx, mask) -> optax.GradientTransformation:
+    """`optax.masked` that ZEROES updates for frozen (mask=False) leaves.
+
+    `optax.masked(tx, mask)` alone passes non-masked updates through
+    UNCHANGED — i.e. the raw gradient — and this framework's train steps
+    apply `p - lr*u`, so a "frozen" leaf would still take plain-SGD steps.
+    (The encoder freeze survived that by accident: `stop_base_gradients`
+    zeroes its grads in the model, so the pass-through was zero. The Koppen
+    freeze has no stop_gradient — torch semantics keep grads FLOWING through
+    the embedding, it's merely absent from the optimizer's param list,
+    adapt_hybrid_v5.py:172 — and measurably leaked ~1e-6/step.) Chaining a
+    `set_to_zero` over the inverse mask restores torch's not-in-optimizer
+    semantics exactly: full gradient flow, zero update, no weight decay.
+    """
+    import jax
+
+    inv = jax.tree.map(lambda b: not b, mask)
+    return optax.chain(
+        optax.masked(tx, mask), optax.masked(optax.set_to_zero(), inv)
+    )
 
 
 def clip_global_norm_tree(grads, max_norm: float):

@@ -130,25 +130,90 @@ def load_checkpoint(path: str, like=None):
     """Load (arrays, meta) from `path`.
 
     `like` optionally provides a template pytree so arrays restore with the
-    exact structure/dtypes (recommended for opt_state trees). A `like`
-    covering only a subtree of what was saved (e.g. params without
-    opt_state) restores just that subtree.
+    exact structure/dtypes (recommended for opt_state trees, whose tuples a
+    raw restore would flatten to lists). A `like` covering only a subtree of
+    what was saved (e.g. params without opt_state) restores just that
+    subtree.
+
+    The SAVED structure is authoritative: if a `like` subtree's leaf paths
+    are not all present in the checkpoint (e.g. a template built with fused
+    LSTM biases reading a checkpoint of torch-imported split `b_ih`/`b_hh`
+    leaves), that subtree is restored raw with the checkpoint's own
+    structure instead. Orbax's partial_restore would otherwise SILENTLY
+    keep the template's (random-init) values for the missing leaves —
+    caught as a real weight-corruption bug in benchmarks/recipe_parity.py.
     """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    arr_path = os.path.join(path, "arrays")
     with ocp.PyTreeCheckpointer() as ckptr:
         if like is not None:
+            import jax.tree_util as jtu
             from orbax.checkpoint import args as ocp_args
 
-            arrays = ckptr.restore(
-                os.path.join(path, "arrays"),
-                ocp_args.PyTreeRestore(
-                    item=jax.tree.map(np.asarray, like), partial_restore=True
-                ),
-            )
+            def canon(kp) -> str:
+                # NamedTuples (optax states) flatten with attribute keys
+                # (`.count`) while orbax metadata stores them as dicts
+                # (`['count']`) — compare on the bare key/index/name.
+                parts = []
+                for e in kp:
+                    for attr in ("idx", "key", "name"):
+                        v = getattr(e, attr, None)
+                        if v is not None:
+                            parts.append(str(v))
+                            break
+                    else:
+                        parts.append(str(e))
+                return "/".join(parts)
+
+            md = ckptr.metadata(arr_path)
+            md_tree = getattr(md, "item_metadata", md)
+            saved_paths = {
+                canon(kp)
+                for kp, _ in jtu.tree_flatten_with_path(md_tree)[0]
+            }
+            like_np = jax.tree.map(np.asarray, like)
+
+            def covered(subtree) -> bool:
+                return {
+                    canon(kp)
+                    for kp, _ in jtu.tree_flatten_with_path(subtree)[0]
+                } <= saved_paths
+
+            if not isinstance(like_np, dict):
+                templated = like_np if covered(like_np) else None
+                arrays = (
+                    ckptr.restore(
+                        arr_path,
+                        ocp_args.PyTreeRestore(
+                            item=templated, partial_restore=True
+                        ),
+                    )
+                    if templated is not None
+                    else ckptr.restore(arr_path)
+                )
+            else:
+                matched = {
+                    k: v for k, v in like_np.items() if covered({k: v})
+                }
+                arrays = {}
+                if matched:
+                    arrays.update(
+                        ckptr.restore(
+                            arr_path,
+                            ocp_args.PyTreeRestore(
+                                item=matched, partial_restore=True
+                            ),
+                        )
+                    )
+                missing = [k for k in like_np if k not in matched]
+                if missing:
+                    raw = ckptr.restore(arr_path)
+                    for k in missing:
+                        arrays[k] = raw[k]
         else:
-            arrays = ckptr.restore(os.path.join(path, "arrays"))
+            arrays = ckptr.restore(arr_path)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return arrays, meta

@@ -53,9 +53,19 @@ def state_dicts_from_params(params: dict, cfg: ModelConfig):
         hybrid[f"lstm.weight_hh_l{l}"] = (
             np.asarray(layer["wh"], np.float32).T.copy()
         )
-        b = np.asarray(layer["b"], np.float32)
-        hybrid[f"lstm.bias_ih_l{l}"] = b
-        hybrid[f"lstm.bias_hh_l{l}"] = np.zeros_like(b)
+        if "b" in layer:
+            # Native fused bias: torch's two copies carry it as ih + zeros.
+            b = np.asarray(layer["b"], np.float32)
+            hybrid[f"lstm.bias_ih_l{l}"] = b
+            hybrid[f"lstm.bias_hh_l{l}"] = np.zeros_like(b)
+        else:
+            # Torch-imported split biases round-trip exactly.
+            hybrid[f"lstm.bias_ih_l{l}"] = np.asarray(
+                layer["b_ih"], np.float32
+            )
+            hybrid[f"lstm.bias_hh_l{l}"] = np.asarray(
+                layer["b_hh"], np.float32
+            )
 
     hybrid["output_layer.weight"] = (
         np.asarray(params["head"]["w"], np.float32).T.copy()

@@ -12,8 +12,14 @@ Mapping notes (shapes are reference -> ours):
     PyG stores the dense transform transposed relative to x @ W). GCNConv
     `bias` [out] -> `b`.
   * LSTM `weight_ih_l{k}` [4H, in] -> `wx` [in, 4H] (transpose), same gate
-    order (i, f, g, o); `weight_hh_l{k}` -> `wh`; `bias_ih + bias_hh` -> `b`
-    (a single bias is mathematically identical).
+    order (i, f, g, o); `weight_hh_l{k}` -> `wh`; `bias_ih`/`bias_hh` ->
+    SEPARATE leaves `b_ih`/`b_hh`. The forward only ever sees their sum
+    (models/common.py lstm_bias), but keeping both preserves torch's
+    optimizer semantics when fine-tuning imported weights: Adam steps the
+    two identical-gradient copies independently, so the effective bias
+    moves at 2x a fused bias's rate and the clip norm counts it twice
+    (tests/test_recipe_parity.py). Natively-initialized models use a
+    single fused `b`.
   * `output_layer.weight` [H*12, lstm_hidden] -> head `w` (transpose).
   * Koppen `embedding.weight` [31, 8] -> `koppen` as-is.
   * The reference STGCN's own `output_layer` is dead weight in the hybrid
@@ -56,14 +62,16 @@ def params_from_state_dicts(
     for l in range(cfg.lstm_layers):
         wx = _np(hybrid_state[f"lstm.weight_ih_l{l}"]).T
         wh = _np(hybrid_state[f"lstm.weight_hh_l{l}"]).T
-        b = _np(hybrid_state[f"lstm.bias_ih_l{l}"]) + _np(
-            hybrid_state[f"lstm.bias_hh_l{l}"]
-        )
         lstm_layers.append(
             {
                 "wx": wx.astype(np.float32),
                 "wh": wh.astype(np.float32),
-                "b": b.astype(np.float32),
+                "b_ih": _np(hybrid_state[f"lstm.bias_ih_l{l}"]).astype(
+                    np.float32
+                ),
+                "b_hh": _np(hybrid_state[f"lstm.bias_hh_l{l}"]).astype(
+                    np.float32
+                ),
             }
         )
 

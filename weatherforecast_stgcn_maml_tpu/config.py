@@ -220,6 +220,11 @@ class MetaConfig:
     # recompute); "none" lets the scan save full residuals (fastest if it
     # fits HBM). Measured at bench scale: benchmarks/so_remat_probe.json.
     so_remat: str = "step"
+    # Fuse the inner step's whole-tree clip+SGD update into one Pallas
+    # kernel (ops/fused_sgd.py) — first-order only (routed off for
+    # second_order and for the GSPMD sp-sharded step, where the opaque
+    # kernel would block the partitioner, like the other fused kernels).
+    fused_inner_update: bool = True
     # Unroll factor for the inner-SGD lax.scan (XLA replicates the step body
     # this many times per loop iteration — trades compile time/code size for
     # less loop overhead on the many small inner steps).

@@ -115,6 +115,13 @@ class force_interpret:
 
 _PIPE_MAX = 4
 
+# Probe-only ablation hooks (benchmarks/lstm_kernel_ablate_probe.py) — never
+# set on production paths; they change numerics and exist to attribute the
+# kernel's per-grid-step time to cell math vs the cross-step recurrence.
+_ABLATE_NOCELL = False  # gate nonlinearities -> cheap linear cell
+_ABLATE_NOSCRATCH = False  # no carry scratch entry/exit (breaks recurrence
+#                            across grid steps -> measures the serialization)
+
 
 def _pick_pipe(b: int) -> int:
     """Row-chain interleave factor for the merged kernels.
@@ -636,8 +643,9 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
 
     @pl.when(s == 0)
     def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
+        if not _ABLATE_NOSCRATCH:
+            h_scr[:] = jnp.zeros_like(h_scr)
+            c_scr[:] = jnp.zeros_like(c_scr)
 
     b_rows = x_ref.shape[1]
     bp = b_rows // pipe
@@ -645,8 +653,13 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
     inv_keep = 1.0 / keep if has_masks else 1.0
     # (h, c) carries live in registers/VMEM values across the block's tb
     # slices; scratch is read once at block entry and written once at exit.
-    h_c = [[h_scr[l, sl] for sl in sls] for l in range(n_layers)]
-    c_c = [[c_scr[l, sl] for sl in sls] for l in range(n_layers)]
+    if _ABLATE_NOSCRATCH:
+        zero = jnp.zeros((bp, hidden), jnp.float32)
+        h_c = [[zero for _ in sls] for _ in range(n_layers)]
+        c_c = [[zero for _ in sls] for _ in range(n_layers)]
+    else:
+        h_c = [[h_scr[l, sl] for sl in sls] for l in range(n_layers)]
+        c_c = [[c_scr[l, sl] for sl in sls] for l in range(n_layers)]
     for j in range(tb):
         inps = [x_ref[j, sl].astype(compute_dtype) for sl in sls]
         for l in range(n_layers):
@@ -669,12 +682,18 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
             nxt_p = []
             for p, sl in enumerate(sls):
                 gates = gates_p[p]
-                i = _sigmoid(gates[:, :hidden])
-                f = _sigmoid(gates[:, hidden:2 * hidden])
-                g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-                o = _sigmoid(gates[:, 3 * hidden:])
-                c = f * c_c[l][p] + i * g
-                h = o * jnp.tanh(c)
+                if _ABLATE_NOCELL:
+                    # Linear stand-in keeping the (c -> h -> next step)
+                    # dependence but no transcendentals.
+                    c = gates[:, :hidden] * 0.25 + c_c[l][p] * 0.5
+                    h = gates[:, hidden:2 * hidden] * 0.25 + c * 0.25
+                else:
+                    i = _sigmoid(gates[:, :hidden])
+                    f = _sigmoid(gates[:, hidden:2 * hidden])
+                    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+                    o = _sigmoid(gates[:, 3 * hidden:])
+                    c = f * c_c[l][p] + i * g
+                    h = o * jnp.tanh(c)
                 h_c[l][p] = h
                 c_c[l][p] = c
                 if emit_res:
@@ -691,10 +710,11 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
                     nxt_p.append(nxt.astype(compute_dtype))
             if l < n_layers - 1:
                 inps = nxt_p
-    for l in range(n_layers):
-        for p, sl in enumerate(sls):
-            h_scr[l, sl] = h_c[l][p]
-            c_scr[l, sl] = c_c[l][p]
+    if not _ABLATE_NOSCRATCH:
+        for l in range(n_layers):
+            for p, sl in enumerate(sls):
+                h_scr[l, sl] = h_c[l][p]
+                c_scr[l, sl] = c_c[l][p]
 
 
 def _bwd_kernel_m(g_ref, x_ref, h_all_ref, h_prev_ref, c_all_ref, c_prev_ref,

@@ -129,6 +129,18 @@ def adapt_and_query_loss(
             # attempts one.
             p_in = jax.lax.stop_gradient(p)
         g = jax.grad(support_loss)(p_in, idx, jax.random.fold_in(rng, s))
+        if not cfg.second_order and cfg.fused_inner_update:
+            from weatherforecast_stgcn_maml_tpu.ops.fused_sgd import (
+                clip_sgd_update,
+                fused_supported,
+            )
+
+            if fused_supported():
+                # Whole-tree clip+update as ONE kernel: the ~46 per-leaf
+                # XLA ops cost 0.27 ms on the inner loop's dependent chain
+                # (benchmarks/sgd_math_probe.json). Identity Jacobian ==
+                # the FO linearization (grads stop-gradiented inside).
+                return clip_sgd_update(p, g, cfg.inner_lr, cfg.clip_norm), None
         g, _ = clip_global_norm_tree(g, cfg.clip_norm)
         if not cfg.second_order:
             g = jax.lax.stop_gradient(g)
@@ -241,6 +253,7 @@ def make_meta_step(
             model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
             use_pallas_lstm=False,
         )
+        cfg = dataclasses.replace(cfg, fused_inner_update=False)
     tx, schedule = meta_optimizer(cfg)
 
     def _shard_micro(micro_tasks):

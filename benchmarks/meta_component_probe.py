@@ -171,6 +171,16 @@ def main(rounds: int = 8) -> int:
 
     add("lstm90", jax.jit(lstm_chain), params["lstm"], xl2, key)
 
+    # --- floor: near-empty dispatch of the same chain structure — the
+    # tunnel dispatch+fetch cost that every arm pays ONCE per rep. All
+    # per-iter attributions subtract it (the round-4 ablation probes were
+    # initially read without it: a 40-link chain of EMPTY kernels measured
+    # 21.9 ms, i.e. ~90% of several arms' total).
+    def floor_fn(c):
+        return (c * 1.000001).astype(jnp.float32).sum()
+
+    add("floor", jax.jit(floor_fn), jnp.zeros((8, 128), jnp.float32))
+
     # --- sgd90: clip + update math on the param tree ------------------------
     def sgd_chain(p):
         def body(pp, _):
@@ -189,15 +199,18 @@ def main(rounds: int = 8) -> int:
     timed = run_interleaved(compiled, rounds, "meta-comp")
 
     best = {k: timed[k]["best_ms"] for k in timed}
-    # Attribution at per-inner-iter granularity (vmap-2 shapes).
+    fl = best["floor"]
+    # Attribution at per-inner-iter granularity (vmap-2 shapes), the
+    # per-dispatch tunnel floor subtracted from every arm.
     per_iter = {
-        "inner_total": best["micrograd"] / (ITERS + 1),
-        "adaptfwd": best["adaptfwd"] / (ITERS + 1),
-        "enc_grad": best["enc90"] / ITERS,
-        "lstm_grad": best["lstm90"] / ITERS,
-        "sgd_math": best["sgd90"] / ITERS,
+        "inner_total": (best["micrograd"] - fl) / (ITERS + 1),
+        "adaptfwd": (best["adaptfwd"] - fl) / (ITERS + 1),
+        "enc_grad": (best["enc90"] - fl) / ITERS,
+        "lstm_grad": (best["lstm90"] - fl) / ITERS,
+        "sgd_math": (best["sgd90"] - fl) / ITERS,
         "outer_grad_extra_ms": best["micrograd"] - best["adaptfwd"],
-        "meta_minus_2micro_ms": best["meta"] - 2 * best["micrograd"],
+        "meta_minus_2micro_ms": best["meta"] - 2 * best["micrograd"] + fl,
+        "dispatch_floor_ms": fl,
     }
     floors_ms = {
         "inner_total": 0.99, "enc_grad": 0.55, "lstm_grad": 0.44,

@@ -181,6 +181,14 @@ def clip_sgd_update(params, grads, lr: float, max_norm: float):
     the custom VJP passes cotangents through. Falls back to the XLA tree
     ops off-TPU or when disabled.
     """
+    if not isinstance(lr, (int, float)) or not isinstance(
+        max_norm, (int, float)
+    ):
+        raise TypeError(
+            "clip_sgd_update needs STATIC (python float) lr/max_norm — they "
+            "bake into the kernel; got "
+            f"lr={type(lr).__name__}, max_norm={type(max_norm).__name__}"
+        )
     if not fused_supported():
         from weatherforecast_stgcn_maml_tpu.train.optimizers import (
             clip_global_norm_tree,

@@ -158,25 +158,46 @@ def main(
 
         return rep
 
-    timed = run_interleaved(
-        {f"N={a['nodes']}": make_rep(a) for a in arms}, rounds, "scale"
-    )
+    # Dispatch-floor arm: a near-empty jitted dispatch in the same window.
+    # Each timed rep pays the tunnel's dispatch+fetch cost ONCE regardless
+    # of chain depth (measured 22-25 ms — comparable to a whole 512-node
+    # 10-step chain), so per-step numbers divide it in. The production
+    # engines compile WHOLE EPOCHS into one dispatch (engines/adapt.py),
+    # amortizing it over 50-200+ steps; the floor-corrected column is the
+    # honest hardware envelope (round-4 methodology fix).
+    import jax.numpy as jnp
+
+    zf = jax.jit(lambda c: (c * 1.000001).astype(jnp.float32).sum())
+    zx = jnp.zeros((8, 128), jnp.float32)
+    float(np.asarray(zf(zx)))
+
+    def floor_rep():
+        float(np.asarray(zf(zx)))
+
+    reps = {f"N={a['nodes']}": make_rep(a) for a in arms}
+    reps["floor"] = floor_rep
+    timed = run_interleaved(reps, rounds, "scale")
+    floor_ms = timed["floor"]["best_ms"]
     out = {
         "batch_windows": batch, "dtype": "bfloat16", "rng_impl": rng_impl,
-        "chain_steps_per_dispatch": CHAIN_STEPS, "arms": [],
+        "chain_steps_per_dispatch": CHAIN_STEPS,
+        "dispatch_floor_ms": floor_ms, "arms": [],
     }
     for a in arms:
         t = timed[f"N={a['nodes']}"]
         best = t["best_ms"] / 1e3 / CHAIN_STEPS  # per optimizer step
+        best_corr = max(t["best_ms"] - floor_ms, 1e-9) / 1e3 / CHAIN_STEPS
         entry = {
             "nodes": a["nodes"],
             "flops_per_step": a["flops"],
             "best_ms": best * 1e3,
+            "best_ms_floor_corrected": best_corr * 1e3,
             "median_ms": t["median_ms"] / CHAIN_STEPS,
             "windows_per_sec": a["batch"] / best,
         }
         if peak:
             entry["mfu_vs_bf16_peak"] = a["flops"] / best / peak
+            entry["mfu_floor_corrected"] = a["flops"] / best_corr / peak
         out["arms"].append(entry)
     with open(os.path.join(SELF_DIR, out_name), "w") as f:
         json.dump(out, f, indent=2)

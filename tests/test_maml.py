@@ -226,18 +226,25 @@ def test_so_remat_unknown_policy_raises():
             tasks, jax.random.key(1),
         )
 
-    # The valid policies all trace and agree on the meta loss.
-    losses = []
-    for pol in ("step", "dots", "none"):
+    # The valid policies all trace and agree on the meta loss AND the
+    # post-update params (i.e. the SO meta-GRADIENT) — remat must be a
+    # pure recompute schedule, never a numerics change. "sqrt"/"chunk:<k>"
+    # are the two-level Griewank schedules (chunk:2 exercises the
+    # nearest-divisor fallback at total_steps=3).
+    losses, first_leaves = [], []
+    for pol in ("step", "dots", "none", "sqrt", "chunk:2", "chunk:3"):
         c = MetaConfig(
             meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=3,
             query_batches=1, query_train_mode=False,
             second_order=True, so_remat=pol,
         )
         s2 = make_jit_meta_step(MODEL_CFG, c)
-        _, m = s2(init_meta_state(jax.random.key(0), MODEL_CFG, c), tasks, jax.random.key(1))
+        st, m = s2(init_meta_state(jax.random.key(0), MODEL_CFG, c), tasks, jax.random.key(1))
         losses.append(float(m["meta_loss"]))
+        first_leaves.append(np.asarray(jax.tree.leaves(st.params)[0]))
     np.testing.assert_allclose(losses, losses[0], rtol=1e-5)
+    for leaf in first_leaves[1:]:
+        np.testing.assert_allclose(leaf, first_leaves[0], rtol=1e-4, atol=1e-6)
 
 
 def test_meta_step_accepts_legacy_prngkey():

@@ -218,7 +218,11 @@ class MetaConfig:
     # (recompute everything, O(1) residuals per step); "dots" saves matmul
     # outputs and recomputes only elementwise ops (more memory, less
     # recompute); "none" lets the scan save full residuals (fastest if it
-    # fits HBM). Measured at bench scale: benchmarks/so_remat_probe.json.
+    # fits HBM). "sqrt" / "chunk:<k>" checkpoint only chunk BOUNDARIES
+    # (Griewank two-level schedule): the backward recomputes each chunk's
+    # forward once instead of every step's fwd+bwd, at sqrt-scaled memory.
+    # Measured at bench scale: benchmarks/so_remat_probe.json,
+    # so_chunk_probe.json.
     so_remat: str = "step"
     # Fuse the inner step's whole-tree clip+SGD update into one Pallas
     # kernel (ops/fused_sgd.py) — first-order only (routed off for

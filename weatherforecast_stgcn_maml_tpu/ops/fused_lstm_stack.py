@@ -634,9 +634,14 @@ def _fwd_kernel_m(x_ref, wcat0_ref, wcatr_ref, b_ref, m_ref,
     # kernel's _TIME_BLOCK pattern): the (h, c) state rides Python carry
     # variables across the in-program slices instead of a scratch
     # round-trip per step, and per-program block-streaming setup amortizes
-    # tb-fold. The chained-grad probe put the per-grad time at 3.3x the
-    # FLOP floor with tb=1 (benchmarks/pipe_chain_probe.json) — grid-step
-    # overhead, not the dots, is the residual.
+    # tb-fold. Measured neutral (benchmarks/tb_ab_probe.json) — and the
+    # round-4 methodology correction showed why: the dots already run at
+    # 97-98% of bf16 peak (lstm_kernel_ablate_probe: empty-kernel chains
+    # cost the ~22 ms tunnel dispatch floor that earlier per-call readings
+    # divided in), so neither grid-step count nor dot latency is a
+    # residual. The kernel's remaining gap to its naive 3x-fwd floor is
+    # the bwd's BY-DESIGN gate-recompute dot group (cheaper than streaming
+    # 4H gate residuals) plus partially-hidden VPU cell math.
     s = pl.program_id(0)
     emit_res = h_out_ref is not None
     res_dtype = h_out_ref.dtype if emit_res else jnp.float32

@@ -35,6 +35,12 @@ def _log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_torch.json")
 
 
@@ -321,6 +327,25 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
     state, metrics = chain(state, tasks, bench_key)
     block_until_ready(metrics["meta_loss"])
 
+    # Per-dispatch floor: each timed rep pays the tunnel's dispatch+fetch
+    # cost ONCE (a chain of EMPTY kernels measures ~22 ms;
+    # benchmarks/lstm_kernel_ablate_probe.json, round-4 methodology fix).
+    # Measured with a near-empty jitted dispatch in the same window so the
+    # floor-corrected MFU is an apples-to-apples hardware number; the raw
+    # per-step figure (floor share divided by chain_k) stays the headline
+    # for continuity with earlier rounds.
+    floor_dispatch_s = 0.0
+    if on_tpu:
+        import jax.numpy as jnp
+
+        zf = jax.jit(lambda c: (c * 1.000001).astype(jnp.float32).sum())
+        zx = jnp.zeros((8, 128), jnp.float32)
+        float(np.asarray(zf(zx)))  # compile + warm
+        floor_dispatch_s = min(
+            _timed(lambda: float(np.asarray(zf(zx)))) for _ in range(6)
+        )
+        _log(f"[bench] dispatch+fetch floor: {floor_dispatch_s * 1e3:.1f} ms")
+
     # The shared TPU pool behind the tunnel shows ~60x contention swings
     # (benchmarks/e2e_tpu_run.md). On TPU: sample in short bursts within a
     # time budget and keep the global best. Stop early when (a) a step
@@ -406,6 +431,13 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
             "likely understate hardware capability in this window"
         )
     _log(f"[bench] steady-state step: best {best * 1e3:.1f}ms avg {avg * 1e3:.1f}ms")
+    best_corr = max(best - floor_dispatch_s / chain_k, 1e-9)
+    mfu_corr = (floor_s / best_corr) if floor_s is not None else None
+    if mfu_corr is not None:
+        _log(
+            f"[bench] floor-corrected step {best_corr * 1e3:.1f}ms "
+            f"({mfu_corr * 100:.1f}% MFU)"
+        )
     return {
         "meta_steps_per_sec": 1.0 / best,
         "step_seconds_best": best,
@@ -417,6 +449,9 @@ def bench_meta(quick: bool, dtype: str, reps: int, second_order: bool = False) -
         "flops_per_step": step_flops,
         "floor_seconds_bf16_peak": floor_s,
         "mfu_vs_bf16_peak": mfu,
+        "dispatch_floor_seconds": floor_dispatch_s,
+        "step_seconds_floor_corrected": best_corr,
+        "mfu_floor_corrected": mfu_corr,
         "contended": contended,
         "num_timed_steps": len(times) * chain_k,
         "chain_length": chain_k,
@@ -615,6 +650,43 @@ def kernel_parity(dtype: str) -> dict:
     ))(xp, whm)
     checks["lstm_scan_bwd_dxp"] = rel_err(d_got[0], d_ref[0])
     checks["lstm_scan_bwd_dwh"] = rel_err(d_got[1], d_ref[1])
+
+    # Fused whole-tree clip+SGD update (ops/fused_sgd.py) vs the XLA tree
+    # ops — unbatched and vmapped (per-instance norms), clip active.
+    from weatherforecast_stgcn_maml_tpu.ops import fused_sgd
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import (
+        clip_global_norm_tree,
+    )
+
+    ptree = {
+        "w": jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(256,)).astype(np.float32)),
+        "k": jnp.asarray(rng.normal(size=(31, 8)).astype(np.float32)),
+    }
+    gtree = jax.tree.map(lambda x: x * 3.0, ptree)
+
+    def sgd_ref(p, g):
+        g, _ = clip_global_norm_tree(jax.lax.stop_gradient(g), 1.0)
+        return jax.tree.map(lambda a, b: a - 0.01 * b, p, g)
+
+    got = jax.jit(
+        lambda p, g: fused_sgd.clip_sgd_update(p, g, 0.01, 1.0)
+    )(ptree, gtree)
+    ref = sgd_ref(ptree, gtree)
+    checks["fused_sgd"] = max(
+        rel_err(a, b)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref))
+    )
+    bp = jax.tree.map(lambda x: jnp.stack([x, x * 0.5]), ptree)
+    bg = jax.tree.map(lambda x: jnp.stack([x * 50.0, x * 1e-4]), ptree)
+    gotb = jax.jit(jax.vmap(
+        lambda p, g: fused_sgd.clip_sgd_update(p, g, 0.01, 1.0)
+    ))(bp, bg)
+    refb = jax.vmap(sgd_ref)(bp, bg)
+    checks["fused_sgd_vmap"] = max(
+        rel_err(a, b)
+        for a, b in zip(jax.tree.leaves(gotb), jax.tree.leaves(refb))
+    )
 
     bad = {
         k: v for k, v in checks.items()
@@ -960,6 +1032,12 @@ def main(argv=None) -> int:
                 f" ms/step at 100% bf16 MFU; this run: "
                 f"{result['mfu_vs_bf16_peak'] * 100:.1f}% MFU"
             )
+            if result.get("mfu_floor_corrected") is not None:
+                unit += (
+                    f" ({result['mfu_floor_corrected'] * 100:.1f}% with the "
+                    f"{result['dispatch_floor_seconds'] * 1e3:.0f} ms "
+                    "per-dispatch tunnel floor subtracted)"
+                )
             if result.get("contended"):
                 unit += "; likely pool-contended window"
             unit += "]"

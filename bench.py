@@ -1007,8 +1007,14 @@ def main(argv=None) -> int:
 
     # Quick smoke runs land in their own artifact: last_run.json is the
     # full-scale record the docs cite, and a tiny-shape smoke test must
-    # never clobber it (this happened once in round 3).
-    artifact = "last_quick_run.json" if args.quick else "last_run.json"
+    # never clobber it (this happened once in round 3). Second-order runs
+    # get their own file for the same reason.
+    if args.quick:
+        artifact = "last_quick_run.json"
+    elif args.second_order:
+        artifact = "last_so_run.json"
+    else:
+        artifact = "last_run.json"
     out_path = os.path.join(os.path.dirname(__file__), "benchmarks", artifact)
     with open(out_path, "w") as f:
         json.dump(details, f, indent=2)

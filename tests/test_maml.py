@@ -140,6 +140,75 @@ def test_second_order_meta_gradient_matches_finite_difference():
             assert np.isclose(fd, an, rtol=2e-2, atol=1e-7), (leaf_i, fd, an)
 
 
+def test_so_impl_routes_agree():
+    """so_impl="hvp"/"rof" (explicit symmetric-Hessian transposes,
+    train/so_grad.py) must match the default linearize-and-transpose
+    meta-gradient exactly. float64 so every route traces identical math
+    (fused kernels are off for f64/CPU regardless of impl)."""
+    model_cfg = dataclasses.replace(MODEL_CFG, compute_dtype="float64")
+    with jax.enable_x64(True):
+        built = _tasks(n=1)
+
+        def f64(x):
+            a = np.asarray(x)
+            return jnp.asarray(a, jnp.float64 if a.dtype == np.float32 else a.dtype)
+
+        task = jax.tree.map(f64, built[0].task)
+        cfg0 = dataclasses.replace(META_CFG, second_order=True, inner_epochs=2)
+        params = jax.tree.map(
+            f64, init_meta_state(jax.random.key(1), model_cfg, cfg0).params
+        )
+        rng = jax.random.key(2)
+        grads = {}
+        for impl in ("xla", "hvp", "rof"):
+            cfg = dataclasses.replace(cfg0, so_impl=impl)
+            grads[impl] = jax.grad(
+                lambda p: adapt_and_query_loss(p, task, rng, model_cfg, cfg)
+            )(params)
+        for impl in ("hvp", "rof"):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14
+                ),
+                grads["xla"],
+                grads[impl],
+            )
+
+
+def test_so_impl_vmapped_meta_step_agrees():
+    """The custom_vjp SO routes must survive the meta step's task-vmap
+    (task data flows through the op as explicit args — closed-over batch
+    tracers broke exactly here) and produce the same meta update."""
+    built = _tasks(n=2)
+    from weatherforecast_stgcn_maml_tpu.train.tasks import stack_tasks
+
+    tasks = jax.tree.map(jnp.asarray, stack_tasks([b.task for b in built]))
+    out = {}
+    for impl in ("xla", "hvp"):
+        cfg = dataclasses.replace(
+            META_CFG, second_order=True, so_impl=impl, grad_accum=1
+        )
+        state = init_meta_state(jax.random.key(1), MODEL_CFG, cfg)
+        step = make_jit_meta_step(MODEL_CFG, cfg)
+        state, m = step(state, tasks, jax.random.key(4))
+        out[impl] = (state.params, float(m["meta_loss"]))
+    assert np.isclose(out["xla"][1], out["hvp"][1], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7
+        ),
+        out["xla"][0],
+        out["hvp"][0],
+    )
+
+
+def test_so_impl_unknown_raises():
+    from weatherforecast_stgcn_maml_tpu.train.so_grad import make_so_grad
+
+    with pytest.raises(ValueError, match="so_impl"):
+        make_so_grad(lambda p, i, r: 0.0, lambda p, i, r: 0.0, "hpv")
+
+
 def test_first_order_vs_second_order_differ_but_correlate():
     built = _tasks(n=1)
     task = jax.tree.map(jnp.asarray, built[0].task)

@@ -224,6 +224,15 @@ class MetaConfig:
     # Measured at bench scale: benchmarks/so_remat_probe.json,
     # so_chunk_probe.json.
     so_remat: str = "step"
+    # How each inner step's Hessian transpose (dg/dp)^T ct is computed in
+    # second-order mode (train/so_grad.py). "xla": linearize-and-transpose
+    # the whole inner gradient (forces ALL paths off the fused kernels);
+    # "hvp"/"rof": explicit symmetric-Hessian HVP on a twice-differentiable
+    # XLA loss (forward-over-reverse / reverse-over-forward) while the
+    # once-differentiated parts (inner grads, query loss+reverse) keep the
+    # fused Pallas kernels. Equivalent meta-gradients (tests/test_maml.py);
+    # measured in benchmarks/so_impl_probe.py.
+    so_impl: str = "xla"
     # Fuse the inner step's whole-tree clip+SGD update into one Pallas
     # kernel (ops/fused_sgd.py) — first-order only (routed off for
     # second_order and for the GSPMD sp-sharded step, where the opaque

@@ -89,6 +89,7 @@ def adapt_and_query_loss(
     This is the per-task function whose gradient w.r.t. `params` is the MAML
     meta-gradient (exact for second_order=True, first-order otherwise).
     """
+    model_cfg_x = model_cfg
     if cfg.second_order and (
         model_cfg.lstm_kernel != "xla"
         or model_cfg.use_pallas_gcn
@@ -96,21 +97,51 @@ def adapt_and_query_loss(
     ):
         # The fused Pallas kernels (LSTM recurrence/stack, GCN train stack,
         # eval GCN stack, eval LSTM) are custom VJPs — first-order
-        # differentiable only. Grad-of-grad through the inner loop needs
-        # the twice-differentiable XLA paths.
-        model_cfg = dataclasses.replace(
+        # differentiable only. Grad-of-grad needs the twice-differentiable
+        # XLA paths: with so_impl="xla" EVERYTHING reroutes there; with
+        # "hvp"/"rof" only the Hessian transpose does (so_grad.py) and the
+        # once-differentiated parts keep the kernels.
+        model_cfg_x = dataclasses.replace(
             model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
             use_pallas_lstm=False,
         )
+        if cfg.so_impl == "xla":
+            model_cfg = model_cfg_x
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support
 
-    def support_loss(p, idx, step_rng):
-        preds = apply_model(
-            p, task.a_hat, task.support_x[idx], task.koppen, model_cfg,
-            train=True, rng=step_rng,
+    # Task data reaches the loss as an explicit argument pytree: the SO
+    # route wraps the inner gradient in a custom_vjp (so_grad.py), and a
+    # custom_vjp must not close over task tensors — under the meta step's
+    # task-vmap they are batch tracers, and closed-over tracers escaping
+    # into the bwd rule is an UnexpectedTracerError.
+    def _support_loss_on(mc):
+        def loss(p, aux, step_rng):
+            xb, yb, a_hat, koppen, node_mask = aux
+            preds = apply_model(
+                p, a_hat, xb, koppen, mc, train=True, rng=step_rng
+            )
+            return masked_mse(preds, yb, node_mask)
+
+        return loss
+
+    support_loss = _support_loss_on(model_cfg)
+
+    def _support_aux(idx):
+        return (
+            task.support_x[idx],
+            task.support_y[idx],
+            task.a_hat,
+            task.koppen,
+            task.node_mask,
         )
-        return masked_mse(preds, task.support_y[idx], task.node_mask)
+
+    if cfg.second_order:
+        from weatherforecast_stgcn_maml_tpu.train.so_grad import make_so_grad
+
+        so_inner_grad = make_so_grad(
+            support_loss, _support_loss_on(model_cfg_x), cfg.so_impl
+        )
 
     def inner_step(p, s):
         # Epoch-major pass over the same support windows, like the
@@ -128,7 +159,12 @@ def adapt_and_query_loss(
             # JVP rule — zero incoming tangents mean the outer grad never
             # attempts one.
             p_in = jax.lax.stop_gradient(p)
-        g = jax.grad(support_loss)(p_in, idx, jax.random.fold_in(rng, s))
+        step_rng = jax.random.fold_in(rng, s)
+        aux = _support_aux(idx)
+        if cfg.second_order:
+            g = so_inner_grad(p_in, aux, step_rng)
+        else:
+            g = jax.grad(support_loss)(p_in, aux, step_rng)
         if not cfg.second_order and cfg.fused_inner_update:
             from weatherforecast_stgcn_maml_tpu.ops.fused_sgd import (
                 clip_sgd_update,

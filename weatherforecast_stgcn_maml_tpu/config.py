@@ -231,8 +231,9 @@ class MetaConfig:
     # XLA loss (forward-over-reverse / reverse-over-forward) while the
     # once-differentiated parts (inner grads, query loss+reverse) keep the
     # fused Pallas kernels. Equivalent meta-gradients (tests/test_maml.py);
-    # measured in benchmarks/so_impl_probe.py.
-    so_impl: str = "xla"
+    # measured in benchmarks/so_impl_probe.json: xla 2.420 s/step, hvp
+    # 2.021, rof 2.013 (29.7 -> 35.8% floor-corrected MFU) — "rof" default.
+    so_impl: str = "rof"
     # Fuse the inner step's whole-tree clip+SGD update into one Pallas
     # kernel (ops/fused_sgd.py) — first-order only (routed off for
     # second_order and for the GSPMD sp-sharded step, where the opaque

@@ -76,14 +76,25 @@ def main(rounds: int = 8) -> int:
         file=sys.stderr,
     )
 
-    def make_loss(train: bool):
+    def make_loss(train: bool, wavefront: bool = False):
         def loss(lp):
             def per_task(x1):
-                out = apply_lstm(
-                    lp, x1, dropout_rate=model_cfg.lstm_dropout, train=train,
-                    rng=key, compute_dtype=jnp.bfloat16,
-                    unroll=model_cfg.lstm_unroll, kernel="xla",
-                )
+                if wavefront:
+                    from weatherforecast_stgcn_maml_tpu.models.lstm import (
+                        apply_lstm_wavefront,
+                    )
+
+                    out = apply_lstm_wavefront(
+                        lp, x1, dropout_rate=model_cfg.lstm_dropout,
+                        train=train, rng=key, compute_dtype=jnp.bfloat16,
+                        unroll=model_cfg.lstm_unroll,
+                    )
+                else:
+                    out = apply_lstm(
+                        lp, x1, dropout_rate=model_cfg.lstm_dropout,
+                        train=train, rng=key, compute_dtype=jnp.bfloat16,
+                        unroll=model_cfg.lstm_unroll, kernel="xla",
+                    )
                 return jnp.mean(out.astype(jnp.float32) ** 2)
 
             return jax.vmap(per_task)(x2).mean()
@@ -159,6 +170,14 @@ def main(rounds: int = 8) -> int:
     add("for2", for2, False)
     add("rof_eval", lambda p: rof(p, make_loss(False)), False)
     add("unit", unit, False)
+    # Wavefront formulation (apply_lstm_wavefront): identical FLOPs, 3.5x
+    # less sequential depth (T+L-1 vs T*L recurrent dots), pure XLA and
+    # twice-differentiable. If its rof beats the layerwise rof, the diff2
+    # route should run it (with layerwise-equivalent explicit masks).
+    loss_wf = make_loss(True, wavefront=True)
+    add("fwd_wf", loss_wf, True)
+    add("grad_wf", jax.grad(loss_wf), False)
+    add("rof_wf", lambda p: rof(p, loss_wf), False)
 
     def floor_fn(c):
         return (c * 1.000001).astype(jnp.float32).sum()

@@ -195,18 +195,31 @@ def test_wavefront_lstm_matches_layerwise():
         got = apply_lstm_wavefront(p, x)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
-    # Gradients flow in train mode with dropout.
+    # Train mode: the wavefront draws the EXACT layerwise dropout streams
+    # (fold_in(rng, l) over [T, B, H]) gathered to wavefront order, so
+    # train-mode values AND gradients match apply_lstm to rounding — the
+    # property that lets the wavefront serve as the twice-differentiable
+    # Hessian-transpose route in second-order MAML (train/so_grad.py).
     p = init_lstm(jax.random.key(1), 9, 6, 3)
     x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 7, 9)), jnp.float32)
+    rng = jax.random.key(2)
+    ref = apply_lstm(p, x, dropout_rate=0.3, train=True, rng=rng, kernel="xla")
+    got = apply_lstm_wavefront(p, x, dropout_rate=0.3, train=True, rng=rng)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
-    def loss(p):
-        out = apply_lstm_wavefront(
-            p, x, dropout_rate=0.3, train=True, rng=jax.random.key(2)
-        )
-        return (out**2).mean()
+    def loss_of(fn):
+        def loss(p):
+            out = fn(p, x, dropout_rate=0.3, train=True, rng=rng)
+            return (out**2).mean()
 
-    g = jax.grad(loss)(p)
-    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+        return loss
+
+    g = jax.grad(loss_of(apply_lstm_wavefront))(p)
+    g_ref = jax.grad(
+        loss_of(lambda *a, **kw: apply_lstm(*a, kernel="xla", **kw))
+    )(p)
+    for u, v in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(u, v, rtol=2e-3, atol=1e-5)
 
 
 def test_wavefront_single_layer_full_unroll_delegation():

@@ -150,13 +150,15 @@ class ModelConfig:
     lstm_unroll: int = 0
     # Advance the stacked LSTM on the (layer, time) antidiagonal wavefront:
     # T+L-1 sequential lane-batched matmuls instead of L*T tiny ones —
-    # mathematically identical (exact in eval; train-mode dropout masks are
-    # drawn per wavefront step, same marginal distribution). Measured
-    # SLOWER than the fully-unrolled layerwise scan in the meta step on v5e
-    # (clean interleaved A/B, device-staged: median 728 vs 648 ms): XLA
-    # already pipelines the unrolled small matmuls, and the wavefront's
-    # lane gathers/concats cost more than the depth reduction saves. Kept
-    # as an option for larger L*T.
+    # mathematically identical incl. the train-mode dropout realization
+    # (masks drawn from the exact layerwise fold_in(rng, l) streams,
+    # gathered to wavefront order). Measured SLOWER than the fully-
+    # unrolled layerwise scan in the FO meta step on v5e (clean
+    # interleaved A/B, device-staged: median 728 vs 648 ms): XLA already
+    # pipelines the unrolled small matmuls there. But under SECOND-ORDER
+    # differentiation the depth cut wins (rof-HVP 5.51 -> 4.32 ms/iter,
+    # benchmarks/so_lstm_probe.json) — meta.so_wavefront routes the
+    # Hessian transpose here by default.
     lstm_wavefront: bool = False
     # Append 2 within-box relative-coordinate channels ([-1,1]-normalized
     # lat/lon) to the node features. Box-invariance experiment (ROADMAP #2 /
@@ -234,6 +236,16 @@ class MetaConfig:
     # measured in benchmarks/so_impl_probe.json: xla 2.420 s/step, hvp
     # 2.021, rof 2.013 (29.7 -> 35.8% floor-corrected MFU) — "rof" default.
     so_impl: str = "rof"
+    # Run the Hessian transpose's twice-differentiable route on the
+    # wavefront LSTM formulation (models/lstm.py:apply_lstm_wavefront —
+    # T+L-1 sequential lane-batched dots instead of L*T tiny ones, exact
+    # layerwise dropout streams so the HVP sees the same stochastic loss).
+    # The layerwise XLA forward runs at ~25% MFU at reference shapes and
+    # every SO constituent scales off it (benchmarks/so_lstm_probe.json:
+    # rof-HVP 5.51 -> 4.32 ms/iter on the wavefront). Only used when
+    # so_impl != "xla"; the fused kernels keep the once-differentiated
+    # paths either way.
+    so_wavefront: bool = True
     # Fuse the inner step's whole-tree clip+SGD update into one Pallas
     # kernel (ops/fused_sgd.py) — first-order only (routed off for
     # second_order and for the GSPMD sp-sharded step, where the opaque

@@ -96,10 +96,17 @@ def apply_lstm_wavefront(
     depth for the 4x24 reference shape, which is what matters in the
     latency-bound MAML inner loop (benchmarks/perf_probe.py).
 
-    Mathematically identical to `apply_lstm` (exact in eval mode; in train
-    mode the inter-layer dropout masks are drawn per wavefront step instead
-    of per layer — same marginal distribution). Lane l is reset at its first
-    active step, so pre-start garbage never reaches an active cell.
+    Mathematically identical to `apply_lstm` INCLUDING the train-mode
+    dropout realization: the inter-layer masks are drawn from the exact
+    layerwise streams (`fold_in(rng, l)` over [T, B, H], like `apply_lstm`)
+    and gathered per wavefront step — lane l's input at step k is layer
+    l-1's output at time k-l, so it takes mask element [l-1, k-l]. This
+    makes the wavefront a legal twice-differentiable stand-in for the
+    layerwise/fused routes inside second-order MAML's Hessian transpose
+    (train/so_grad.py), where the HVP must be of the SAME stochastic loss
+    the inner gradient used (values agree to accumulation-order rounding;
+    masks agree exactly). Lane l is reset at its first active step, so
+    pre-start garbage never reaches an active cell.
 
     Args/returns match `apply_lstm`: x [B, T, C] -> last hidden [B, H].
     """
@@ -153,16 +160,49 @@ def apply_lstm_wavefront(
     zero_lane = xproj0[0, :, :hidden] * 0.0  # [B, H]
     zeros = zero_lane[None] + jnp.zeros((n_layers, 1, 1), zero_lane.dtype)
     lane_idx = jnp.arange(n_layers)
+    n_steps = t_len + n_layers - 1
 
-    def step(carry, k):
+    # Exact layerwise dropout masks, gathered to wavefront order: lane l's
+    # inter-layer input at step k is layer l-1's output at time k-l, so the
+    # mask it needs is element [t=k-l] of the layerwise stream
+    # fold_in(rng, l-1) (apply_lstm). Indices are clamped where a lane is
+    # pre-start / past-end — those inputs never reach the final output (the
+    # lane-reset argument above), so the reused mask values are inert.
+    use_dropout = train and dropout_rate > 0.0 and rng is not None
+    if use_dropout:
+        keep = 1.0 - dropout_rate
+        masks = jnp.stack(
+            [
+                jax.random.bernoulli(
+                    jax.random.fold_in(rng, l), keep, (t_len, b, hidden)
+                )
+                for l in range(n_layers - 1)
+            ]
+        )  # [L-1, T, B, H] — bit-identical to apply_lstm's draws
+        t_idx = jnp.clip(
+            jnp.arange(n_steps)[:, None] - jnp.arange(1, n_layers)[None, :],
+            0,
+            t_len - 1,
+        )  # [n_steps, L-1]
+        wf_masks = masks[
+            jnp.arange(n_layers - 1)[None, :], t_idx
+        ]  # [n_steps, L-1, B, H]
+    else:
+        keep = 1.0
+        wf_masks = jnp.zeros((n_steps, 0, b, hidden), jnp.bool_)
+
+    def step(carry, k_and_mask):
+        k, mask_k = k_and_mask
         h_prev, c_prev = carry  # [L, B, H] — all lanes' state after step k-1
         # Lane l's inter-layer input at step k is lane l-1's output from
         # step k-1 (time k-l), i.e. h_prev shifted down one lane.
         shifted = jnp.concatenate([zeros[:1], h_prev[:-1]], axis=0)
-        if train and dropout_rate > 0.0 and rng is not None:
-            shifted = dropout(
-                shifted, dropout_rate, jax.random.fold_in(rng, k), train=True
-            )
+        if use_dropout:
+            # Inverted dropout exactly as models/common.dropout applies it
+            # layerwise: where(mask, x / keep, 0). Lane 0 has no
+            # inter-layer input (xproj0 is added explicitly) — no mask.
+            dropped = jnp.where(mask_k, shifted[1:] / keep, 0.0)
+            shifted = jnp.concatenate([shifted[:1], dropped], axis=0)
         # Reset a lane's own recurrence at its first active step (t == 0).
         starting = (k - lane_idx == 0)[:, None, None]
         h_own = jnp.where(starting, 0.0, h_prev)
@@ -185,9 +225,8 @@ def apply_lstm_wavefront(
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new), None
 
-    n_steps = t_len + n_layers - 1
     (h_final, _), _ = jax.lax.scan(
-        step, (zeros, zeros), jnp.arange(n_steps),
+        step, (zeros, zeros), (jnp.arange(n_steps), wf_masks),
         unroll=n_steps if unroll == 0 else max(1, min(unroll, n_steps)),
     )
     # The last wavefront step computes the top lane at time T-1.

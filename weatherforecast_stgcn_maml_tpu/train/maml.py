@@ -90,23 +90,34 @@ def adapt_and_query_loss(
     meta-gradient (exact for second_order=True, first-order otherwise).
     """
     model_cfg_x = model_cfg
-    if cfg.second_order and (
-        model_cfg.lstm_kernel != "xla"
-        or model_cfg.use_pallas_gcn
-        or model_cfg.use_pallas_lstm
-    ):
-        # The fused Pallas kernels (LSTM recurrence/stack, GCN train stack,
-        # eval GCN stack, eval LSTM) are custom VJPs — first-order
-        # differentiable only. Grad-of-grad needs the twice-differentiable
-        # XLA paths: with so_impl="xla" EVERYTHING reroutes there; with
-        # "hvp"/"rof" only the Hessian transpose does (so_grad.py) and the
-        # once-differentiated parts keep the kernels.
-        model_cfg_x = dataclasses.replace(
-            model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
-            use_pallas_lstm=False,
-        )
-        if cfg.so_impl == "xla":
-            model_cfg = model_cfg_x
+    if cfg.second_order:
+        if (
+            model_cfg.lstm_kernel != "xla"
+            or model_cfg.use_pallas_gcn
+            or model_cfg.use_pallas_lstm
+        ):
+            # The fused Pallas kernels (LSTM recurrence/stack, GCN train
+            # stack, eval GCN stack, eval LSTM) are custom VJPs —
+            # first-order differentiable only. Grad-of-grad needs the
+            # twice-differentiable XLA paths: with so_impl="xla"
+            # EVERYTHING reroutes there; with "hvp"/"rof" only the Hessian
+            # transpose does (so_grad.py) and the once-differentiated
+            # parts keep the kernels.
+            model_cfg_x = dataclasses.replace(
+                model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
+                use_pallas_lstm=False,
+            )
+            if cfg.so_impl == "xla":
+                model_cfg = model_cfg_x
+        if cfg.so_impl != "xla" and cfg.so_wavefront:
+            # The HVP-only route additionally runs the wavefront LSTM
+            # formulation — same cells, exact layerwise dropout streams,
+            # 3.5x less sequential depth; the layerwise XLA scan's ~25%
+            # MFU is what every SO constituent scales off
+            # (benchmarks/so_lstm_probe.json).
+            model_cfg_x = dataclasses.replace(
+                model_cfg_x, lstm_wavefront=True
+            )
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support
 

@@ -240,12 +240,15 @@ class MetaConfig:
     # wavefront LSTM formulation (models/lstm.py:apply_lstm_wavefront —
     # T+L-1 sequential lane-batched dots instead of L*T tiny ones, exact
     # layerwise dropout streams so the HVP sees the same stochastic loss).
-    # The layerwise XLA forward runs at ~25% MFU at reference shapes and
-    # every SO constituent scales off it (benchmarks/so_lstm_probe.json:
-    # rof-HVP 5.51 -> 4.32 ms/iter on the wavefront). Only used when
-    # so_impl != "xla"; the fused kernels keep the once-differentiated
-    # paths either way.
-    so_wavefront: bool = True
+    # The isolated rof-HVP constituent is 22% faster on the wavefront
+    # (5.51 -> 4.32 ms/iter, benchmarks/so_lstm_probe.json), but at the
+    # FULL SO meta step the interleaved A/B reads wf_on SLOWER (2.180 vs
+    # 1.990 s floor-corrected, 32.7 vs 35.8% MFU,
+    # benchmarks/so_wavefront_probe.json): the wavefront's gather/concat
+    # lane shuffles also ride the once-differentiated inner-grad recompute
+    # under so_remat="step", where the fused layerwise path already wins.
+    # Default off; only consulted when so_impl != "xla".
+    so_wavefront: bool = False
     # Fuse the inner step's whole-tree clip+SGD update into one Pallas
     # kernel (ops/fused_sgd.py) — first-order only (routed off for
     # second_order and for the GSPMD sp-sharded step, where the opaque

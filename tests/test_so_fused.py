@@ -1,0 +1,179 @@
+"""Fused second-order path: R-operator kernels (ops/fused_lstm_hvp.py) and
+the fused Hessian-transpose wiring (train/so_fused.py).
+
+Kernel bodies run through the Pallas interpreter on CPU and are compared
+against jax.jvp over plain-XLA autodiff of a reference stack — i.e. the
+exact object the kernels hand-schedule. End-to-end: the `so_impl="fhvp"`
+meta-gradient must match the linearize-and-transpose route.
+"""
+
+import dataclasses
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weatherforecast_stgcn_maml_tpu.ops import fused_lstm_hvp as fh
+
+T, B, C, H, L = 5, 16, 24, 8, 3
+KEEP = 0.75
+
+
+def _ref_stack(x, wcat0, wcatr, b2d, masks):
+    """Plain-jnp merged-gates stack: x [T, B, C] -> (h_last, h_all, c_all).
+
+    The mathematical function both kernel pairs implement (mirrors
+    ops/fused_lstm_stack.py's layout: wcat0 [C+H, 4H], wcatr [L-1, 2H, 4H],
+    b2d [L, 4H], int8 masks [L-1, T, B, H] with the 1/keep scale applied
+    in-graph).
+    """
+    t, b, _ = x.shape
+    n_layers = b2d.shape[0]
+    hidden = b2d.shape[1] // 4
+    h_all = []
+    c_all = []
+    inp_seq = x
+    for l in range(n_layers):
+        w = wcat0 if l == 0 else wcatr[l - 1]
+        h = jnp.zeros((b, hidden), jnp.float32)
+        c = jnp.zeros((b, hidden), jnp.float32)
+        hs = []
+        cs = []
+        for s in range(t):
+            xh = jnp.concatenate([inp_seq[s], h], axis=1)
+            gates = xh @ w + b2d[l]
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            hs.append(h)
+            cs.append(c)
+        h_all.append(jnp.stack(hs))
+        c_all.append(jnp.stack(cs))
+        inp_seq = h_all[-1]
+        if l < n_layers - 1 and masks is not None:
+            inp_seq = inp_seq * (masks[l].astype(jnp.float32) / KEEP)
+    return h_all[-1][-1], jnp.stack(h_all), jnp.stack(c_all)
+
+
+def _setup(seed=0, with_masks=True, layers=L):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, B, C)).astype(np.float32))
+    wcat0 = jnp.asarray(
+        rng.normal(size=(C + H, 4 * H)).astype(np.float32) * 0.3
+    )
+    wcatr = jnp.asarray(
+        rng.normal(size=(max(layers - 1, 1), 2 * H, 4 * H)).astype(np.float32)
+        * 0.3
+    )
+    b2d = jnp.asarray(rng.normal(size=(layers, 4 * H)).astype(np.float32) * 0.1)
+    masks = None
+    if with_masks and layers > 1:
+        masks = jnp.asarray(
+            (rng.uniform(size=(layers - 1, T, B, H)) < KEEP).astype(np.int8)
+        )
+    return x, wcat0, wcatr, b2d, masks
+
+
+def _tangents(seed, *primals):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=p.shape).astype(np.float32)) for p in primals
+    )
+
+
+@pytest.mark.parametrize("with_masks", [True, False])
+def test_rfwd_jvp_matches_autodiff(with_masks):
+    x, wcat0, wcatr, b2d, masks = _setup(0, with_masks)
+    keep = KEEP if with_masks else 1.0
+    fwd_op, _ = fh.hvp_stack_ops("float32", True, keep, masks is not None)
+
+    def ref(x_, w0_, wr_, b_):
+        return _ref_stack(x_, w0_, wr_, b_, masks)
+
+    def fused(x_, w0_, wr_, b_):
+        args = (x_, w0_, wr_, b_) + ((masks,) if masks is not None else ())
+        return fwd_op(*args)
+
+    prim = (x, wcat0, wcatr, b2d)
+    tans = _tangents(1, *prim)
+    out_ref, tan_ref = jax.jvp(ref, prim, tans)
+    out_got, tan_got = jax.jvp(fused, prim, tans)
+    for a, b in zip(jax.tree.leaves(out_ref), jax.tree.leaves(out_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(tan_ref), jax.tree.leaves(tan_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_masks", [True, False])
+def test_rbwd_jvp_matches_autodiff(with_masks):
+    x, wcat0, wcatr, b2d, masks = _setup(2, with_masks)
+    keep = KEEP if with_masks else 1.0
+    _, bwd_op = fh.hvp_stack_ops("float32", True, keep, masks is not None)
+    g = jnp.asarray(
+        np.random.default_rng(3).normal(size=(B, H)).astype(np.float32)
+    )
+
+    def ref_grads(g_, x_, w0_, wr_, b_):
+        # The object the backward kernel computes: VJP of the stack's
+        # h_last output at cotangent g_.
+        def f(x__, w0__, wr__, b__):
+            return _ref_stack(x__, w0__, wr__, b__, masks)[0]
+
+        _, vjp = jax.vjp(f, x_, w0_, wr_, b_)
+        return vjp(g_)
+
+    def fused_grads(g_, x_, w0_, wr_, b_):
+        _, h_all, c_all = _ref_stack(x_, w0_, wr_, b_, masks)
+        args = (g_, x_, h_all, c_all, w0_, wr_, b_)
+        if masks is not None:
+            args = args + (masks,)
+        return bwd_op(*args)
+
+    prim = (g, x, wcat0, wcatr, b2d)
+    tans = _tangents(4, *prim)
+    out_ref, tan_ref = jax.jvp(ref_grads, prim, tans)
+    out_got, tan_got = jax.jvp(fused_grads, prim, tans)
+    for a, b in zip(jax.tree.leaves(out_ref), jax.tree.leaves(out_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(tan_ref), jax.tree.leaves(tan_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_rbwd_single_layer():
+    x, wcat0, wcatr, b2d, _ = _setup(5, with_masks=False, layers=1)
+    _, bwd_op = fh.hvp_stack_ops("float32", True, 1.0, False)
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(B, H)).astype(np.float32)
+    )
+
+    def ref_grads(g_, x_, w0_, b_):
+        def f(x__, w0__, b__):
+            return _ref_stack(x__, w0__, wcatr, b__, None)[0]
+
+        _, vjp = jax.vjp(f, x_, w0_, b_)
+        return vjp(g_)
+
+    def fused_grads(g_, x_, w0_, b_):
+        _, h_all, c_all = _ref_stack(x_, w0_, wcatr, b_, None)
+        dx, dw0, _, db = bwd_op(g_, x_, h_all, c_all, w0_, wcatr, b_)
+        return dx, dw0, db
+
+    prim = (g, x, wcat0, b2d)
+    tans = _tangents(7, *prim)
+    out_ref, tan_ref = jax.jvp(ref_grads, prim, tans)
+    out_got, tan_got = jax.jvp(fused_grads, prim, tans)
+    for a, b in zip(jax.tree.leaves(out_ref), jax.tree.leaves(out_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(tan_ref), jax.tree.leaves(tan_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)

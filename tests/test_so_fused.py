@@ -177,3 +177,170 @@ def test_rbwd_single_layer():
     for a, b in zip(jax.tree.leaves(tan_ref), jax.tree.leaves(tan_got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end wiring (train/so_fused.py + so_impl="fhvp")
+# ---------------------------------------------------------------------------
+
+from weatherforecast_stgcn_maml_tpu.config import (  # noqa: E402
+    DataConfig,
+    MetaConfig,
+    ModelConfig,
+)
+from weatherforecast_stgcn_maml_tpu.data.synthetic import (  # noqa: E402
+    synthetic_region_for_box,
+)
+from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse  # noqa: E402
+from weatherforecast_stgcn_maml_tpu.models.registry import (  # noqa: E402
+    apply_model,
+    init_model,
+)
+from weatherforecast_stgcn_maml_tpu.train.maml import (  # noqa: E402
+    adapt_and_query_loss,
+    init_meta_state,
+)
+from weatherforecast_stgcn_maml_tpu.train.so_fused import (  # noqa: E402
+    make_grad_loss_fused,
+)
+from weatherforecast_stgcn_maml_tpu.train.tasks import (  # noqa: E402
+    build_meta_tasks,
+)
+
+MODEL_CFG = ModelConfig(
+    hidden_channels=8,
+    gcn_layers=2,
+    lstm_hidden=8,
+    lstm_layers=2,
+    window=6,
+    horizon=2,
+    koppen_dim=4,
+    gcn_dropout=0.2,
+    lstm_dropout=0.25,
+)
+META_CFG = MetaConfig(
+    meta_batch=1,
+    grad_accum=1,
+    inner_epochs=1,
+    inner_batches=2,
+    query_batches=1,
+    query_train_mode=False,
+    second_order=True,
+)
+
+
+def _task(model_cfg=MODEL_CFG, meta_cfg=META_CFG):
+    regions = [
+        synthetic_region_for_box((10.0, 10.5, 20.0, 20.5), num_timesteps=40,
+                                 seed=0)
+    ]
+    task = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())[0].task
+    return jax.tree.map(jnp.asarray, task)
+
+
+def _aux(task, idx=0):
+    return (
+        task.support_x[idx],
+        task.support_y[idx],
+        task.a_hat,
+        task.koppen,
+        task.node_mask,
+    )
+
+
+def _loss(model_cfg):
+    def loss(p, aux, step_rng):
+        xb, yb, a_hat, koppen, node_mask = aux
+        preds = apply_model(
+            p, a_hat, xb, koppen, model_cfg, train=True, rng=step_rng
+        )
+        return masked_mse(preds, yb, node_mask)
+
+    return loss
+
+
+@pytest.mark.parametrize("dropout_on", [True, False])
+def test_grad_loss_fused_matches_autodiff(dropout_on):
+    """The manual VJP composition (encoder/head XLA segments around the
+    custom_jvp stack ops) must equal jax.grad of the support loss."""
+    model_cfg = MODEL_CFG if dropout_on else dataclasses.replace(
+        MODEL_CFG, gcn_dropout=0.0, lstm_dropout=0.0
+    )
+    task = _task(model_cfg)
+    params = init_model(jax.random.key(0), model_cfg)
+    aux = _aux(task)
+    rng = jax.random.key(7)
+    loss = _loss(model_cfg)
+    g_ref = jax.grad(loss)(params, aux, rng)
+    with fh.force_interpret():
+        g_got = make_grad_loss_fused(model_cfg, loss)(params, aux, rng)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_loss_fused_hvp_matches_autodiff():
+    """jvp of the fused composition — the actual fhvp Hessian transpose —
+    must equal jvp of jax.grad on the same loss."""
+    task = _task()
+    params = init_model(jax.random.key(1), MODEL_CFG)
+    aux = _aux(task)
+    rng = jax.random.key(8)
+    loss = _loss(MODEL_CFG)
+    ct = jax.tree.map(
+        lambda p: jnp.asarray(
+            np.random.default_rng(3).normal(size=p.shape), p.dtype
+        ),
+        params,
+    )
+    _, hv_ref = jax.jvp(
+        lambda q: jax.grad(loss)(q, aux, rng), (params,), (ct,)
+    )
+    with fh.force_interpret():
+        grad_loss = make_grad_loss_fused(MODEL_CFG, loss)
+        _, hv_got = jax.jvp(
+            lambda q: grad_loss(q, aux, rng), (params,), (ct,)
+        )
+    for a, b in zip(jax.tree.leaves(hv_ref), jax.tree.leaves(hv_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_fhvp_meta_grad_matches_xla():
+    """so_impl="fhvp" (R-operator kernels through the full inner-SGD scan)
+    must produce the same meta-gradient as the linearize-and-transpose
+    route, f32 tolerance."""
+    task = _task()
+    params = init_meta_state(jax.random.key(2), MODEL_CFG, META_CFG).params
+    rng = jax.random.key(5)
+    grads = {}
+    for impl in ("xla", "fhvp"):
+        cfg = dataclasses.replace(META_CFG, so_impl=impl)
+        with fh.force_interpret():
+            grads[impl] = jax.grad(
+                lambda p: adapt_and_query_loss(p, task, rng, MODEL_CFG, cfg)
+            )(params)
+    for a, b in zip(
+        jax.tree.leaves(grads["xla"]), jax.tree.leaves(grads["fhvp"])
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_fhvp_fallback_off_tpu():
+    """Without force_interpret on CPU, fhvp falls back to jvp-of-XLA-grad
+    ("hvp" semantics) — same meta-gradient, no kernels required."""
+    task = _task()
+    params = init_meta_state(jax.random.key(2), MODEL_CFG, META_CFG).params
+    rng = jax.random.key(5)
+    grads = {}
+    for impl in ("xla", "fhvp"):
+        cfg = dataclasses.replace(META_CFG, so_impl=impl)
+        grads[impl] = jax.grad(
+            lambda p: adapt_and_query_loss(p, task, rng, MODEL_CFG, cfg)
+        )(params)
+    for a, b in zip(
+        jax.tree.leaves(grads["xla"]), jax.tree.leaves(grads["fhvp"])
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

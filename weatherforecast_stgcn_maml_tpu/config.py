@@ -232,9 +232,15 @@ class MetaConfig:
     # "hvp"/"rof": explicit symmetric-Hessian HVP on a twice-differentiable
     # XLA loss (forward-over-reverse / reverse-over-forward) while the
     # once-differentiated parts (inner grads, query loss+reverse) keep the
-    # fused Pallas kernels. Equivalent meta-gradients (tests/test_maml.py);
-    # measured in benchmarks/so_impl_probe.json: xla 2.420 s/step, hvp
-    # 2.021, rof 2.013 (29.7 -> 35.8% floor-corrected MFU) — "rof" default.
+    # fused Pallas kernels; "fhvp": forward-over-reverse where the gradient
+    # itself is the fused-kernel composition made forward-differentiable by
+    # the hand-written R-operator kernels (train/so_fused.py +
+    # ops/fused_lstm_hvp.py) — the Hessian transpose never touches the XLA
+    # LSTM scan (falls back to "hvp" semantics off-TPU / at unsupported
+    # shapes). Equivalent meta-gradients (tests/test_maml.py,
+    # tests/test_so_fused.py); measured in benchmarks/so_impl_probe.json:
+    # xla 2.420 s/step, hvp 2.021, rof 2.013 (29.7 -> 35.8% floor-corrected
+    # MFU) — "rof" default pending the fhvp TPU measurement.
     so_impl: str = "rof"
     # Run the Hessian transpose's twice-differentiable route on the
     # wavefront LSTM formulation (models/lstm.py:apply_lstm_wavefront —

@@ -150,8 +150,21 @@ def adapt_and_query_loss(
     if cfg.second_order:
         from weatherforecast_stgcn_maml_tpu.train.so_grad import make_so_grad
 
+        loss_x = _support_loss_on(model_cfg_x)
+        fused_grad_fn = None
+        if cfg.so_impl == "fhvp":
+            from weatherforecast_stgcn_maml_tpu.train.so_fused import (
+                make_grad_loss_fused,
+            )
+
+            # grad_loss re-expresses the fused-kernel gradient as a
+            # forward-differentiable composition; jvp'ing it in so_grad's
+            # bwd runs the R-operator kernels (ops/fused_lstm_hvp.py).
+            # It falls back to jax.grad(loss_x) internally when the kernel
+            # route is unavailable at the traced shapes.
+            fused_grad_fn = make_grad_loss_fused(model_cfg, loss_x)
         so_inner_grad = make_so_grad(
-            support_loss, _support_loss_on(model_cfg_x), cfg.so_impl
+            support_loss, loss_x, cfg.so_impl, fused_grad_fn=fused_grad_fn
         )
 
     def inner_step(p, s):

@@ -1,0 +1,161 @@
+"""Fully-fused Hessian transpose for second-order MAML (`so_impl="fhvp"`).
+
+`train/so_grad.py` computes each inner step's (dg/dp)ᵀct as an HVP. The
+"hvp"/"rof" routes run that HVP on a twice-differentiable XLA copy of the
+loss — correct, but the XLA LSTM scan is the measured bottleneck (~25%
+forward MFU at reference shapes; benchmarks/so_lstm_probe.json). This module
+computes the same HVP with the R-operator kernels
+(ops/fused_lstm_hvp.py) instead:
+
+  1. `make_grad_loss_fused` re-expresses ∇L for the hybrid model as a
+     manual VJP composition — XLA `jax.vjp` segments for the encoder/head
+     glue around two `jax.custom_jvp` stack ops (fused forward, fused
+     hand-written backward). The value is EXACTLY jax.grad of the support
+     loss (same dropout streams, same kernels); the point is that the
+     composition is forward-differentiable.
+  2. so_grad's g_bwd then evaluates hv = jvp(grad_loss)(p; ct): JAX pushes
+     tangents through the XLA glue automatically, and through the stack ops
+     via the hand-written tangent kernels. jvp is the outermost transform —
+     the HVP is a terminal value — so no transpose rules are needed.
+
+The gradient segmentation mirrors models/hybrid.py:apply_hybrid line by
+line (Koppen embed -> GCN encoder -> stacked LSTM -> head dropout -> dense
+head -> masked MSE) with bit-identical RNG streams, so the Hessian is of
+the SAME stochastic loss the fused first-order paths train on. Falls back
+to `jax.grad` of the XLA loss copy when the kernel route is unavailable
+(non-hybrid family, float64, non-TPU backend, or VMEM-gated shapes) —
+making "fhvp" safe as a default: worst case it degrades to "hvp".
+
+Reference intent: full MAML (/root/reference/README.md:116-124, `higher`
+in requirements.txt:11).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from weatherforecast_stgcn_maml_tpu.config import ModelConfig
+from weatherforecast_stgcn_maml_tpu.models.common import (
+    apply_dense,
+    dropout,
+    lstm_bias,
+    resolve_dtype,
+)
+from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
+from weatherforecast_stgcn_maml_tpu.models.stgcn import apply_encoder
+from weatherforecast_stgcn_maml_tpu.ops import fused_lstm_hvp as _fh
+from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_hvp import (
+    hvp_stack_ops,
+    hvp_supported,
+)
+
+
+def fused_hvp_route(model_cfg: ModelConfig, t: int, b: int,
+                    interpret: bool = False) -> bool:
+    """Static (trace-time) routing decision for the fused HVP."""
+    dtype = resolve_dtype(model_cfg.compute_dtype)
+    if model_cfg.family != "hybrid" or dtype == jnp.float64:
+        return False
+    if interpret or _fh._FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu" and hvp_supported(
+        t, b, model_cfg.hidden_channels, model_cfg.lstm_hidden,
+        model_cfg.lstm_layers, itemsize=jnp.dtype(dtype).itemsize,
+    )
+
+
+def make_grad_loss_fused(model_cfg: ModelConfig, loss_xla, *,
+                         interpret: bool = False):
+    """Build grad_loss(p, aux, step_rng) == jax.grad(support_loss).
+
+    `loss_xla` is the twice-differentiable XLA loss copy (the "hvp"/"rof"
+    routes' loss_diff2) used as the fallback when the fused route is
+    unavailable at the traced shapes.
+    """
+    dtype = resolve_dtype(model_cfg.compute_dtype)
+
+    def grad_loss(p, aux, step_rng):
+        xb, yb, a_hat, koppen, node_mask = aux
+        w, n, _ = xb.shape
+        if not fused_hvp_route(model_cfg, w, n, interpret):
+            return jax.grad(loss_xla)(p, aux, step_rng)
+
+        n_layers = model_cfg.lstm_layers
+        hidden = model_cfg.lstm_hidden
+        rate = model_cfg.lstm_dropout
+        keep = 1.0 - rate
+        # Same split as apply_hybrid (models/hybrid.py:77).
+        enc_rng, lstm_rng, head_rng = jax.random.split(step_rng, 3)
+        masks = None
+        if rate > 0.0 and n_layers > 1:
+            # Bit-identical to lstm_stack_last_all's fold_in(rng, l) streams.
+            masks = jnp.stack([
+                jax.random.bernoulli(
+                    jax.random.fold_in(lstm_rng, l), keep, (w, n, hidden)
+                )
+                for l in range(n_layers - 1)
+            ]).astype(jnp.int8)
+        fwd_op, bwd_op = hvp_stack_ops(
+            jnp.dtype(dtype).name,
+            bool(interpret or _fh._FORCE_INTERPRET),
+            float(keep) if masks is not None else 1.0,
+            masks is not None,
+        )
+
+        def pre(q):
+            # Koppen embed + GCN encoder + merged-weight packing. The
+            # encoder runs the LAYERWISE XLA route (use_pallas=False): its
+            # fused train kernel is a first-order custom_vjp, and the
+            # encoder's share of the HVP is small (so_decomp_probe.json).
+            emb = q["koppen"][koppen]
+            emb = jnp.broadcast_to(emb, (w, n, emb.shape[-1]))
+            h = jnp.concatenate([xb, emb.astype(xb.dtype)], axis=-1)
+            h = apply_encoder(
+                q["encoder"], a_hat, h, model_cfg, train=True, rng=enc_rng,
+                final_dropout=False, use_pallas=False,
+            )
+            if model_cfg.stop_base_gradients:
+                h = jax.lax.stop_gradient(h)
+            # h [W, N, hidden] is already the stack's [T, B, C] layout
+            # (apply_hybrid swaps twice on the way to the kernel).
+            layers = q["lstm"]["layers"]
+            wcat0 = jnp.concatenate(
+                [layers[0]["wx"], layers[0]["wh"]], axis=0
+            )
+            if n_layers > 1:
+                wcatr = jnp.stack([
+                    jnp.concatenate(
+                        [layers[l]["wx"], layers[l]["wh"]], axis=0
+                    )
+                    for l in range(1, n_layers)
+                ])
+            else:
+                wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
+            b2d = jnp.stack([lstm_bias(layers[l]) for l in range(n_layers)])
+            return h, wcat0, wcatr, b2d
+
+        def post(q, feat):
+            feat = dropout(feat, rate, head_rng, train=True)
+            out = apply_dense(q["head"], feat, compute_dtype=dtype)
+            out = out.reshape(
+                n, model_cfg.horizon, model_cfg.num_weather_vars
+            )
+            preds = jnp.swapaxes(out, 0, 1)  # [H, N, 12]
+            return masked_mse(preds, yb, node_mask)
+
+        (x_tbc, wcat0, wcatr, b2d), pre_vjp = jax.vjp(pre, p)
+        args = (x_tbc, wcat0, wcatr, b2d)
+        if masks is not None:
+            args = args + (masks,)
+        feat, h_all, c_all = fwd_op(*args)
+        loss, post_vjp = jax.vjp(post, p, feat)
+        dp_post, dfeat = post_vjp(jnp.ones_like(loss))
+        bargs = (dfeat, x_tbc, h_all, c_all, wcat0, wcatr, b2d)
+        if masks is not None:
+            bargs = bargs + (masks,)
+        dx, dw0, dwr, db = bwd_op(*bargs)
+        (dp_pre,) = pre_vjp((dx, dw0, dwr, db))
+        return jax.tree.map(jnp.add, dp_pre, dp_post)
+
+    return grad_loss

@@ -19,8 +19,13 @@ HVP on a separate, twice-differentiable loss, while everything that is
 differentiated only ONCE — the inner gradient itself, the query loss and
 its reverse — keeps the fused kernels:
 
-  so_impl="hvp"  H·ct by forward-over-reverse:  jvp(grad(L))(p; ct)
-  so_impl="rof"  H·ct by reverse-over-forward:  grad(p ↦ jvp(L)(p; ct))
+  so_impl="hvp"   H·ct by forward-over-reverse:  jvp(grad(L))(p; ct)
+  so_impl="rof"   H·ct by reverse-over-forward:  grad(p ↦ jvp(L)(p; ct))
+  so_impl="fhvp"  H·ct by forward-over-reverse where grad(L) itself is the
+                  FUSED-kernel gradient, made forward-differentiable by the
+                  R-operator kernels (train/so_fused.py +
+                  ops/fused_lstm_hvp.py) — nothing in the Hessian
+                  transpose runs the XLA LSTM scan.
 
 "rof" builds the directional derivative s(p) = <∇L(p), ct> as ONE
 hand-rolled forward-tangent pass and reverses through it once — a single
@@ -39,7 +44,7 @@ import numpy as np
 
 import jax
 
-SO_IMPLS = ("xla", "hvp", "rof")
+SO_IMPLS = ("xla", "hvp", "rof", "fhvp")
 
 
 def _zero_ct(x):
@@ -58,7 +63,7 @@ def _zero_ct(x):
     return np.zeros(np.shape(x), jax.dtypes.float0)
 
 
-def make_so_grad(loss_fast, loss_diff2, impl: str):
+def make_so_grad(loss_fast, loss_diff2, impl: str, fused_grad_fn=None):
     """Build the inner-gradient operator g(p, aux, step_rng) = ∇_p loss.
 
     loss_fast:  loss(p, aux, step_rng) on the fast (fused-kernel) model
@@ -71,6 +76,10 @@ def make_so_grad(loss_fast, loss_diff2, impl: str):
                 route — used only inside the Hessian transpose. For
                 impl="xla" the caller must pass a twice-differentiable
                 loss_fast; loss_diff2 is unused.
+    fused_grad_fn: for impl="fhvp", the forward-differentiable gradient
+                from train/so_fused.py:make_grad_loss_fused — jvp'd
+                directly for the HVP so the Hessian transpose runs the
+                R-operator kernels.
     """
     if impl == "xla":
         return jax.grad(loss_fast)
@@ -78,6 +87,8 @@ def make_so_grad(loss_fast, loss_diff2, impl: str):
         raise ValueError(
             f"meta.so_impl={impl!r}: expected one of {SO_IMPLS}"
         )
+    if impl == "fhvp" and fused_grad_fn is None:
+        raise ValueError("so_impl='fhvp' requires fused_grad_fn")
 
     @jax.custom_vjp
     def g_op(p, aux, step_rng):
@@ -88,7 +99,11 @@ def make_so_grad(loss_fast, loss_diff2, impl: str):
 
     def g_bwd(res, ct):
         p, aux, step_rng = res
-        if impl == "hvp":
+        if impl == "fhvp":
+            _, hv = jax.jvp(
+                lambda q: fused_grad_fn(q, aux, step_rng), (p,), (ct,)
+            )
+        elif impl == "hvp":
             _, hv = jax.jvp(
                 lambda q: jax.grad(loss_diff2)(q, aux, step_rng), (p,), (ct,)
             )

@@ -10,6 +10,10 @@ train/so_grad.py gives the SO inner gradient a pluggable transpose:
         loss + reverse) keep the fused Pallas kernels.
   rof — explicit HVP, reverse-over-forward grad(p -> jvp(L)(p; ct)):
         one standard reverse scan over a doubled forward.
+  fhvp — forward-over-reverse where the gradient itself is the FUSED
+        composition (train/so_fused.py): the Hessian transpose runs the
+        hand-written R-operator kernels (ops/fused_lstm_hvp.py) instead of
+        the XLA LSTM scan.
 
 All three meta steps are mathematically identical (float64 equivalence in
 tests/test_maml.py); each arm also prints its first meta_loss here as a
@@ -53,7 +57,7 @@ def main(rounds: int = 8) -> int:
     first_loss = {}
     states = {}
 
-    for impl in ("xla", "hvp", "rof"):
+    for impl in ("xla", "hvp", "rof", "fhvp"):
         cfg_i = dataclasses.replace(meta_cfg, so_impl=impl)
         step = make_jit_meta_step(model_cfg, cfg_i)
         # Per-arm state: the jitted step donates its state argument.

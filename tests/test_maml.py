@@ -160,12 +160,12 @@ def test_so_impl_routes_agree():
         )
         rng = jax.random.key(2)
         grads = {}
-        for impl in ("xla", "hvp", "rof"):
+        for impl in ("xla", "hvp", "rof", "fhvp"):
             cfg = dataclasses.replace(cfg0, so_impl=impl)
             grads[impl] = jax.grad(
                 lambda p: adapt_and_query_loss(p, task, rng, model_cfg, cfg)
             )(params)
-        for impl in ("hvp", "rof"):
+        for impl in ("hvp", "rof", "fhvp"):
             jax.tree.map(
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14

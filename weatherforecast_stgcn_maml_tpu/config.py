@@ -238,10 +238,11 @@ class MetaConfig:
     # ops/fused_lstm_hvp.py) — the Hessian transpose never touches the XLA
     # LSTM scan (falls back to "hvp" semantics off-TPU / at unsupported
     # shapes). Equivalent meta-gradients (tests/test_maml.py,
-    # tests/test_so_fused.py); measured in benchmarks/so_impl_probe.json:
-    # xla 2.420 s/step, hvp 2.021, rof 2.013 (29.7 -> 35.8% floor-corrected
-    # MFU) — "rof" default pending the fhvp TPU measurement.
-    so_impl: str = "rof"
+    # tests/test_so_fused.py); measured interleaved in
+    # benchmarks/so_impl_probe.json: xla 2.397 s/step (29.7% floor-corrected
+    # MFU), hvp 1.998 (35.6%), rof 1.990 (35.8%), fhvp 1.393 (51.1%) —
+    # "fhvp" default.
+    so_impl: str = "fhvp"
     # Run the Hessian transpose's twice-differentiable route on the
     # wavefront LSTM formulation (models/lstm.py:apply_lstm_wavefront —
     # T+L-1 sequential lane-batched dots instead of L*T tiny ones, exact

@@ -57,6 +57,11 @@ def fused_hvp_route(model_cfg: ModelConfig, t: int, b: int,
     dtype = resolve_dtype(model_cfg.compute_dtype)
     if model_cfg.family != "hybrid" or dtype == jnp.float64:
         return False
+    if model_cfg.lstm_kernel == "xla":
+        # Caller pinned the XLA routes — e.g. the GSPMD sp-sharded meta
+        # step (train/maml.py make_meta_step), where opaque kernels would
+        # block the partitioner. fhvp degrades to jvp-of-XLA-grad there.
+        return False
     if interpret or _fh._FORCE_INTERPRET:
         return True
     return jax.default_backend() == "tpu" and hvp_supported(

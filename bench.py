@@ -654,6 +654,112 @@ def kernel_parity(dtype: str) -> dict:
     checks["lstm_scan_bwd_dxp"] = rel_err(d_got[0], d_ref[0])
     checks["lstm_scan_bwd_dwh"] = rel_err(d_got[1], d_ref[1])
 
+    # R-operator (Pearlmutter) HVP kernels — the default SO path
+    # (meta.so_impl="fhvp", ops/fused_lstm_hvp.py). jvp of the custom_jvp
+    # stack ops vs jvp over plain-XLA autodiff of the same merged-gates
+    # stack, dropout masks active. Run at f32 (interpret-mode CI covers the
+    # dtype matrix; here the point is proving the hand-written tangent
+    # schedules on real Mosaic). Tangent-of-backward compounds ~2x more
+    # matmul rounding than a first-order backward, hence its own tolerance.
+    from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_hvp import (
+        hvp_stack_ops,
+    )
+
+    hvp_tol = 2e-2
+    ht, hb, hc, hh, hl, keep = 8, 128, 128, 128, 2, 0.75
+    hx = jnp.asarray(rng.normal(size=(ht, hb, hc)).astype(np.float32))
+    hw0 = jnp.asarray(
+        rng.normal(size=(hc + hh, 4 * hh)).astype(np.float32) * 0.3
+    )
+    hwr = jnp.asarray(
+        rng.normal(size=(hl - 1, 2 * hh, 4 * hh)).astype(np.float32) * 0.3
+    )
+    hb2 = jnp.asarray(rng.normal(size=(hl, 4 * hh)).astype(np.float32) * 0.1)
+    hmasks = jnp.asarray(
+        (rng.uniform(size=(hl - 1, ht, hb, hh)) < keep).astype(np.int8)
+    )
+    hg = jnp.asarray(rng.normal(size=(hb, hh)).astype(np.float32))
+    h_fwd_op, h_bwd_op = hvp_stack_ops("float32", False, keep, True)
+
+    def hvp_ref_stack(x_, w0_, wr_, b_):
+        hidden = hh
+        inp = x_
+        h_alls, c_alls = [], []
+        for l in range(hl):
+            w_ = w0_ if l == 0 else wr_[l - 1]
+            hcur = jnp.zeros((hb, hidden), jnp.float32)
+            ccur = jnp.zeros((hb, hidden), jnp.float32)
+            hs, cs = [], []
+            for s in range(ht):
+                gates = jnp.concatenate([inp[s], hcur], axis=1) @ w_ + b_[l]
+                i_ = jax.nn.sigmoid(gates[:, :hidden])
+                f_ = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+                g_ = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+                o_ = jax.nn.sigmoid(gates[:, 3 * hidden:])
+                ccur = f_ * ccur + i_ * g_
+                hcur = o_ * jnp.tanh(ccur)
+                hs.append(hcur)
+                cs.append(ccur)
+            h_alls.append(jnp.stack(hs))
+            c_alls.append(jnp.stack(cs))
+            inp = h_alls[-1]
+            if l < hl - 1:
+                inp = inp * (hmasks[l].astype(jnp.float32) / keep)
+        return h_alls[-1][-1], jnp.stack(h_alls), jnp.stack(c_alls)
+
+    hprim = (hx, hw0, hwr, hb2)
+    htans = tuple(
+        jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
+        for p in hprim
+    )
+    hvr_out, hvr_tan = jax.jit(
+        lambda p_, t_: jax.jvp(hvp_ref_stack, p_, t_)
+    )(hprim, htans)
+    hvg_out, hvg_tan = jax.jit(
+        lambda p_, t_: jax.jvp(
+            lambda x_, w0_, wr_, b_: h_fwd_op(x_, w0_, wr_, b_, hmasks),
+            p_, t_,
+        )
+    )(hprim, htans)
+    checks["hvp_fwd"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(hvr_out), jax.tree.leaves(hvg_out))
+    )
+    checks["hvp_fwd_tangent"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(hvr_tan), jax.tree.leaves(hvg_tan))
+    )
+
+    def hvp_ref_grads(g_, x_, w0_, wr_, b_):
+        _, vjp = jax.vjp(
+            lambda *a_: hvp_ref_stack(*a_)[0], x_, w0_, wr_, b_
+        )
+        return vjp(g_)
+
+    def hvp_fused_grads(g_, x_, w0_, wr_, b_):
+        _, h_all_, c_all_ = hvp_ref_stack(x_, w0_, wr_, b_)
+        return h_bwd_op(g_, x_, h_all_, c_all_, w0_, wr_, b_, hmasks)
+
+    hbprim = (hg,) + hprim
+    hbtans = tuple(
+        jnp.asarray(rng.normal(size=p.shape).astype(np.float32))
+        for p in hbprim
+    )
+    hbr_out, hbr_tan = jax.jit(
+        lambda p_, t_: jax.jvp(hvp_ref_grads, p_, t_)
+    )(hbprim, hbtans)
+    hbg_out, hbg_tan = jax.jit(
+        lambda p_, t_: jax.jvp(hvp_fused_grads, p_, t_)
+    )(hbprim, hbtans)
+    checks["hvp_bwd"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(hbr_out), jax.tree.leaves(hbg_out))
+    )
+    checks["hvp_bwd_tangent"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(hbr_tan), jax.tree.leaves(hbg_tan))
+    )
+
     # Fused whole-tree clip+SGD update (ops/fused_sgd.py) vs the XLA tree
     # ops — unbatched and vmapped (per-instance norms), clip active.
     from weatherforecast_stgcn_maml_tpu.ops import fused_sgd
@@ -691,10 +797,12 @@ def kernel_parity(dtype: str) -> dict:
         for a, b in zip(jax.tree.leaves(gotb), jax.tree.leaves(refb))
     )
 
-    bad = {
-        k: v for k, v in checks.items()
-        if not (v <= (bwd_tol if "bwd" in k else tol))
-    }
+    def _tol(k):
+        if k.startswith("hvp_"):
+            return hvp_tol if "tangent" in k else bwd_tol
+        return bwd_tol if "bwd" in k else tol
+
+    bad = {k: v for k, v in checks.items() if not (v <= _tol(k))}
     if bad:
         raise SystemExit(
             f"[bench] KERNEL PARITY FAILED ({dtype}, tol {tol}/"

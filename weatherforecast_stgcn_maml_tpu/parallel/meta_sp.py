@@ -12,9 +12,10 @@ tasks sharded over `dp` and the padded-node axis over `sp`, and the body
     all-gather per layer, the fused LSTM stack kernel per shard — the node
     axis is the LSTM batch axis, so the per-shard row count shrinks back
     under the kernel's VMEM gate (exactly the regime the kernel wins in);
-  * differentiates the psummed support loss per inner step — under
-    shard_map's VMA replication tracking the result IS the total gradient
-    (replicated across shards), so params stay replicated-consistent;
+  * differentiates the psummed support loss per inner step and psums the
+    per-shard PARTIAL gradients over `sp` into the total before the SGD
+    update (the SPMD invariant: grads of replicated-in-value params arrive
+    as per-shard partial sums), so params stay replicated-consistent;
   * pmeans per-task query losses over `dp`.
 
 The OUTER meta-gradient is `jax.grad` through the shard_map: the replicated
@@ -115,15 +116,26 @@ def _local_adapt_and_query_loss(
         # bearing for the fused kernels (no JVP rule), same as
         # train/maml.py inner_step.
         p_in = jax.lax.stop_gradient(p)
-        # Under shard_map's VMA tracking (check_vma=True), grad of the
-        # psummed loss w.r.t. replicated params IS the true total gradient
-        # (psum's transpose against an unvarying cotangent is identity and
-        # the replicated-input transpose inserts the cross-shard sum) — a
-        # manual psum here would double-count. Verified against the
-        # unsharded step in float64 (tests/test_parallel.py).
+        # The carry was pvary'd to device-varying, so this jax.grad yields
+        # each shard's PARTIAL gradient of the psummed loss — per-shard
+        # node-row contributions, plus whatever crossed collectives inside
+        # the forward (the encoder all-gather transposes). The standard
+        # SPMD invariant applies: the TOTAL gradient is the psum of the
+        # per-shard partials (auto-inserted only when differentiating
+        # UNVARYING inputs, which the pvary deliberately opted out of).
+        # Without this psum every shard inner-SGD-steps on its own partial
+        # and the adapted params silently diverge across sp shards — wrong
+        # whenever real nodes span shards (any region with more real rows
+        # than one shard holds). Caught by the f64 100-node parity test in
+        # tests/test_parallel.py; the psum also makes the clip norm the
+        # GLOBAL norm, matching the unsharded step.
         g = jax.grad(support_loss)(p_in, idx, jax.random.fold_in(rng, s))
+        g = jax.lax.psum(g, sp_axis)
         g, _ = clip_global_norm_tree(g, cfg.clip_norm)
         g = jax.lax.stop_gradient(g)
+        g = jax.tree.map(
+            lambda a: jax.lax.pcast(a, sp_axis, to="varying"), g
+        )
         p = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p, g)
         return p, None
 

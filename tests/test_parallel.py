@@ -451,13 +451,6 @@ def test_meta_shardmap_rejections():
             MetaConfig(meta_batch=6, grad_accum=2, inner_epochs=1, inner_batches=2),
             mesh,
         )
-    with pytest.raises(ValueError):  # second-order unsupported
-        make_shardmap_meta_step_2d(
-            MODEL_CFG,
-            MetaConfig(meta_batch=8, grad_accum=2, second_order=True,
-                       inner_epochs=1, inner_batches=2),
-            mesh,
-        )
     with pytest.raises(ValueError):  # non-hybrid family
         make_shardmap_meta_step_2d(
             dataclasses.replace(MODEL_CFG, family="stgcn"),
@@ -542,4 +535,85 @@ def test_meta_shardmap_2d_nodes_span_shards_f64():
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+            )
+
+
+@pytest.mark.parametrize("so_impl", ["xla", "fhvp"])
+def test_meta_shardmap_2d_second_order_f64(so_impl):
+    """Second-order MAML on the shard_map dp x sp path must match the
+    single-device SO meta step with real nodes spanning both sp shards.
+
+    The Hessian transpose runs per shard through so_grad's custom_vjp on
+    the node-local losses (jvp of the LOCAL partial gradient, psum-composed
+    at the carry boundary — exact by joint-Hessian symmetry). On CPU/f64
+    the "fhvp" fused route falls back to its hvp semantics inside
+    make_local_grad_loss_fused, so this exercises the custom_vjp wiring and
+    the collective transposes, while kernel-engaged SO sharding is
+    validated on TPU (benchmarks/shardmap_meta_probe.py)."""
+    import dataclasses
+
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import (
+        make_mesh_2d,
+        shard_task_batch_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+        make_shardmap_meta_step_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.maml import MamlState
+    from weatherforecast_stgcn_maml_tpu.train.optimizers import meta_optimizer
+
+    model_cfg = dataclasses.replace(
+        MODEL_CFG, compute_dtype="float64", lstm_kernel="xla",
+        gcn_dropout=0.0, lstm_dropout=0.0,
+    )
+    meta_cfg = MetaConfig(
+        meta_batch=2, grad_accum=1, inner_epochs=1, inner_batches=2,
+        query_train_mode=False, second_order=True, so_impl=so_impl,
+    )
+    with jax.enable_x64(True):
+        regions = [
+            synthetic_region_for_box(
+                (10.0 + i, 12.25 + i, 20.0, 22.25), num_timesteps=32, seed=i
+            )
+            for i in range(meta_cfg.meta_batch)
+        ]
+        built = build_meta_tasks(regions, model_cfg, meta_cfg, DataConfig())
+        tasks = stack_tasks([b.task for b in built])
+        tasks = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+            if np.asarray(x).dtype == np.float32
+            else jnp.asarray(x),
+            tasks,
+        )
+        assert int(tasks.node_mask[0].sum()) == 100  # spans both sp shards
+
+        def f64_state():
+            st = init_meta_state(jax.random.key(0), model_cfg, meta_cfg)
+            p = jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                st.params,
+            )
+            tx, _ = meta_optimizer(meta_cfg)
+            return MamlState(p, tx.init(p), jnp.zeros((), jnp.int32))
+
+        s1, m1 = make_jit_meta_step(model_cfg, meta_cfg)(
+            f64_state(), tasks, jax.random.key(7)
+        )
+        mesh = make_mesh_2d(2, 2)
+        par = make_shardmap_meta_step_2d(
+            model_cfg, meta_cfg, mesh, donate_state=False
+        )
+        s2, m2 = par(
+            f64_state(), shard_task_batch_2d(tasks, mesh), jax.random.key(7)
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1["per_task_loss"]),
+            np.asarray(m2["per_task_loss"]),
+            rtol=1e-12, atol=1e-12,
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-11
             )

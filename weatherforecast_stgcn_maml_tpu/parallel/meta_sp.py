@@ -28,14 +28,18 @@ a CPU mesh, tests/test_parallel.py); with dropout ON, masks are drawn
 per-shard (fold_in by sp shard index — `make_spatial_train_step`'s
 convention), a different-but-valid stream from the unsharded step, because
 drawing full-N masks per shard would reinstate the per-device memory ceiling
-the sp axis removes. Second-order MAML should use the GSPMD path (the fused
-kernels are first-order custom VJPs; `make_meta_step` documents the pin).
+the sp axis removes. Second-order MAML is supported: each inner gradient is
+wrapped in train/so_grad.py's custom_vjp with the node-local losses, so the
+Hessian transpose is a per-shard HVP (so_impl="fhvp" keeps the R-operator
+kernels engaged per shard) psum-composed at the carry boundary.
 
 Reference workload: the serial task loop + per-region adaptation of
 /root/reference/train_hybrid_maml_v5.py:110-184 at fleet scale.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +52,7 @@ from weatherforecast_stgcn_maml_tpu.parallel.spatial import hybrid_local_forward
 from weatherforecast_stgcn_maml_tpu.train.maml import (
     MamlState,
     Task,
+    run_inner_scan,
     task_partition_specs,
 )
 from weatherforecast_stgcn_maml_tpu.train.optimizers import (
@@ -56,17 +61,11 @@ from weatherforecast_stgcn_maml_tpu.train.optimizers import (
 )
 
 
-def _psum_masked_mse(preds_local, targets_local, mask_local, axis: str):
-    """Node-sharded `models.losses.masked_mse`: local partial sums + psum.
-
-    masked_mse([H, N, C]) = sum(se * mask) / (H * C * max(sum(mask), 1));
-    both reductions distribute over node shards.
-    """
-    se = jnp.square(preds_local - targets_local) * mask_local[:, None]
-    num = jax.lax.psum(se.sum(), axis)
-    cnt = jax.lax.psum(mask_local.sum(), axis)
-    scale = preds_local.shape[0] * preds_local.shape[-1]
-    return num / (jnp.maximum(cnt, 1.0) * scale)
+# Node-sharded masked MSE now lives next to the other node-local model
+# pieces; kept under the old private name for in-module use.
+from weatherforecast_stgcn_maml_tpu.parallel.spatial import (  # noqa: E402
+    psum_masked_mse as _psum_masked_mse,
+)
 
 
 def _local_adapt_and_query_loss(
@@ -81,11 +80,14 @@ def _local_adapt_and_query_loss(
     """Per-task inner adaptation + query loss with node-LOCAL operands.
 
     Mirrors `train.maml.adapt_and_query_loss` step for step; every loss is
-    psummed over `sp_axis` (replicated scalar), and each inner `jax.grad`
-    of that psummed loss is — under VMA tracking — already the total
-    gradient, so the SGD update keeps params replicated-consistent.
-    First-order only (the fused kernels' custom VJPs); `make_meta_step`
-    handles second-order on the GSPMD path.
+    psummed over `sp_axis` (replicated scalar), and each inner gradient is
+    the psum of the per-shard partials (see inner_step). Second-order MAML
+    routes the Hessian transpose through `train.so_grad` exactly like the
+    single-device path, with the node-local losses: the custom_vjp's bwd
+    jvp's the LOCAL gradient with each shard's incoming cotangent, which by
+    symmetry of the joint Hessian over the per-shard param copies composes
+    with the psum's transpose into the exact meta-gradient (f64 parity
+    tests in tests/test_parallel.py).
     """
     # Promote params to device-varying over BOTH mesh axes before any use:
     # the task operands vary (dp: different tasks; sp: node shards), so all
@@ -100,23 +102,79 @@ def _local_adapt_and_query_loss(
     n_support = task.support_x.shape[0]
     total_steps = cfg.inner_epochs * n_support
 
-    def support_loss(p, idx, step_rng):
-        preds = hybrid_local_forward(
-            p, task.a_hat, task.support_x[idx], task.koppen, model_cfg,
-            sp_axis, train=True, rng=step_rng,
+    model_cfg_x = model_cfg
+    if cfg.second_order and (
+        model_cfg.lstm_kernel != "xla"
+        or model_cfg.use_pallas_gcn
+        or model_cfg.use_pallas_lstm
+    ):
+        # Same rerouting as train/maml.py: the fused kernels are FO custom
+        # VJPs, so the twice-differentiated paths need the XLA routes; with
+        # so_impl != "xla" only the Hessian transpose runs there.
+        model_cfg_x = dataclasses.replace(
+            model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
+            use_pallas_lstm=False,
         )
-        return _psum_masked_mse(
-            preds, task.support_y[idx], task.node_mask, sp_axis
+        if cfg.so_impl == "xla":
+            model_cfg = model_cfg_x
+
+    def _support_loss_on(mc):
+        # Task data arrives as an explicit aux pytree: the SO route wraps
+        # the inner gradient in a custom_vjp (so_grad.py), which must not
+        # close over the task-vmap's batch tracers.
+        def loss(p, aux, step_rng):
+            xb, yb, a_rows, koppen, node_mask = aux
+            preds = hybrid_local_forward(
+                p, a_rows, xb, koppen, mc, sp_axis, train=True, rng=step_rng
+            )
+            return _psum_masked_mse(preds, yb, node_mask, sp_axis)
+
+        return loss
+
+    support_loss = _support_loss_on(model_cfg)
+
+    def _support_aux(idx):
+        return (
+            task.support_x[idx],
+            task.support_y[idx],
+            task.a_hat,
+            task.koppen,
+            task.node_mask,
+        )
+
+    if cfg.second_order:
+        from weatherforecast_stgcn_maml_tpu.train.so_grad import make_so_grad
+
+        loss_x = _support_loss_on(model_cfg_x)
+        fused_grad_fn = None
+        if cfg.so_impl == "fhvp":
+            from weatherforecast_stgcn_maml_tpu.train.so_fused import (
+                make_local_grad_loss_fused,
+            )
+
+            fused_grad_fn = make_local_grad_loss_fused(
+                model_cfg, sp_axis, loss_x
+            )
+        so_inner_grad = make_so_grad(
+            support_loss, loss_x, cfg.so_impl, fused_grad_fn=fused_grad_fn
         )
 
     def inner_step(p, s):
         idx = jnp.mod(s, n_support)
-        # FOMAML: detach the evaluation point so the outer linearization
-        # never propagates tangents into the inner fwd/bwd graph — load-
-        # bearing for the fused kernels (no JVP rule), same as
-        # train/maml.py inner_step.
-        p_in = jax.lax.stop_gradient(p)
-        # The carry was pvary'd to device-varying, so this jax.grad yields
+        step_rng = jax.random.fold_in(rng, s)
+        aux = _support_aux(idx)
+        if cfg.second_order:
+            # Exact MAML: tangents flow into the inner grad; so_grad's
+            # custom_vjp supplies the per-shard HVP transpose.
+            g = so_inner_grad(p, aux, step_rng)
+        else:
+            # FOMAML: detach the evaluation point so the outer
+            # linearization never propagates tangents into the inner
+            # fwd/bwd graph — load-bearing for the fused kernels (no JVP
+            # rule), same as train/maml.py inner_step.
+            p_in = jax.lax.stop_gradient(p)
+            g = jax.grad(support_loss)(p_in, aux, step_rng)
+        # The carry was pvary'd to device-varying, so the gradient above is
         # each shard's PARTIAL gradient of the psummed loss — per-shard
         # node-row contributions, plus whatever crossed collectives inside
         # the forward (the encoder all-gather transposes). The standard
@@ -129,20 +187,19 @@ def _local_adapt_and_query_loss(
         # than one shard holds). Caught by the f64 100-node parity test in
         # tests/test_parallel.py; the psum also makes the clip norm the
         # GLOBAL norm, matching the unsharded step.
-        g = jax.grad(support_loss)(p_in, idx, jax.random.fold_in(rng, s))
         g = jax.lax.psum(g, sp_axis)
         g, _ = clip_global_norm_tree(g, cfg.clip_norm)
-        g = jax.lax.stop_gradient(g)
+        if not cfg.second_order:
+            g = jax.lax.stop_gradient(g)
+        # pvary back for the carry's VMA type; its transpose (a psum over
+        # sp) correctly accumulates the SO cotangents.
         g = jax.tree.map(
             lambda a: jax.lax.pcast(a, sp_axis, to="varying"), g
         )
         p = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p, g)
         return p, None
 
-    adapted, _ = jax.lax.scan(
-        inner_step, params, jnp.arange(total_steps),
-        unroll=max(1, min(cfg.inner_unroll, total_steps)),
-    )
+    adapted = run_inner_scan(inner_step, params, total_steps, cfg)
 
     q = max(1, min(cfg.query_batches, task.query_x.shape[0]))
 
@@ -175,8 +232,10 @@ def make_shardmap_meta_step_2d(
     Same signature and task layout as `make_parallel_meta_step_2d`:
     `(state, tasks, rng) -> (state, metrics)`, tasks placed with
     `parallel.mesh.shard_task_batch_2d`. Requires `model.family == "hybrid"`
-    (the flagship; other families meta-train on the GSPMD path) and
-    first-order MAML.
+    (the flagship; other families meta-train on the GSPMD path). Supports
+    first-order AND second-order MAML: the SO Hessian transpose runs
+    through train/so_grad.py on the node-local losses, with so_impl="fhvp"
+    keeping the R-operator kernels per shard.
 
     `jit=False` returns the unjitted step (for embedding in a chained
     scan). CPU-mesh tests force the fused kernels through interpret mode
@@ -186,11 +245,6 @@ def make_shardmap_meta_step_2d(
         raise ValueError(
             "shard_map 2-D meta step supports family='hybrid' only; use the "
             "GSPMD path (make_parallel_meta_step_2d) for other families"
-        )
-    if meta_cfg.second_order:
-        raise ValueError(
-            "shard_map 2-D meta step is first-order only (fused kernels are "
-            "FO custom VJPs); use the GSPMD path for second-order MAML"
         )
     per_update = meta_cfg.meta_batch // max(1, meta_cfg.grad_accum)
     n_dp = mesh.shape[dp_axis]

@@ -31,6 +31,19 @@ from weatherforecast_stgcn_maml_tpu.models.common import accum_dtype, apply_dens
 from weatherforecast_stgcn_maml_tpu.models.lstm import apply_lstm
 
 
+def psum_masked_mse(preds_local, targets_local, mask_local, axis: str):
+    """Node-sharded `models.losses.masked_mse`: local partial sums + psum.
+
+    masked_mse([H, N, C]) = sum(se * mask) / (H * C * max(sum(mask), 1));
+    both reductions distribute over node shards.
+    """
+    se = jnp.square(preds_local - targets_local) * mask_local[:, None]
+    num = jax.lax.psum(se.sum(), axis)
+    cnt = jax.lax.psum(mask_local.sum(), axis)
+    scale = preds_local.shape[0] * preds_local.shape[-1]
+    return num / (jnp.maximum(cnt, 1.0) * scale)
+
+
 def _spatial_encoder(
     params,
     a_rows,

@@ -77,6 +77,69 @@ def init_meta_state(key, model_cfg: ModelConfig, meta_cfg: MetaConfig) -> MamlSt
     )
 
 
+def run_inner_scan(inner_step, params, total_steps: int, cfg: MetaConfig):
+    """`lax.scan` of `inner_step` under cfg's second-order remat policy.
+
+    Shared by the single-device path below and the shard_map dp x sp path
+    (parallel/meta_sp.py) so both build identical inner-SGD jaxpr shapes.
+    """
+    if cfg.second_order and (
+        cfg.so_remat == "sqrt" or cfg.so_remat.startswith("chunk")
+    ):
+        # Two-level (sqrt) rematerialization: checkpoint only CHUNK
+        # boundaries; within a chunk the scan saves full residuals. The
+        # backward recomputes each chunk's forward ONCE (vs "step", which
+        # recomputes the whole fwd+bwd of EVERY inner step inside its
+        # transpose), for sqrt(total)-scaled memory instead of "none"'s
+        # full-unroll residency (which overflows the remote compiler at
+        # bench scale — so_remat_probe round 3). Classic Griewank
+        # checkpoint schedule, picked by measurement (so_chunk_probe).
+        if cfg.so_remat == "sqrt":
+            chunk = max(1, int(total_steps**0.5))
+        else:
+            chunk = int(cfg.so_remat.split(":", 1)[1])
+        if total_steps % chunk:
+            # Fall back to the nearest divisor so the scan stays static.
+            divs = [d for d in range(1, total_steps + 1) if total_steps % d == 0]
+            chunk = min(divs, key=lambda d: abs(d - chunk))
+        n_chunks = total_steps // chunk
+
+        def chunk_fn(p, ss):
+            p2, _ = jax.lax.scan(inner_step, p, ss)
+            return p2, None
+
+        adapted, _ = jax.lax.scan(
+            jax.checkpoint(chunk_fn),
+            params,
+            jnp.arange(total_steps).reshape(n_chunks, chunk),
+        )
+        return adapted
+    if cfg.second_order:
+        if cfg.so_remat == "none":
+            step_fn = inner_step  # scan saves full residuals (needs HBM)
+        elif cfg.so_remat == "dots":
+            step_fn = jax.checkpoint(
+                inner_step,
+                policy=(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                ),
+            )
+        elif cfg.so_remat == "step":  # recompute everything per inner step
+            step_fn = jax.checkpoint(inner_step)
+        else:
+            raise ValueError(
+                f"meta.so_remat={cfg.so_remat!r}: expected 'step', "
+                "'dots', 'none', 'sqrt', or 'chunk:<k>'"
+            )
+    else:
+        step_fn = inner_step
+    adapted, _ = jax.lax.scan(
+        step_fn, params, jnp.arange(total_steps),
+        unroll=max(1, min(cfg.inner_unroll, total_steps)),
+    )
+    return adapted
+
+
 def adapt_and_query_loss(
     params,
     task: Task,
@@ -207,60 +270,7 @@ def adapt_and_query_loss(
         p = jax.tree.map(lambda a, b: a - cfg.inner_lr * b, p, g)
         return p, None
 
-    if cfg.second_order and (
-        cfg.so_remat == "sqrt" or cfg.so_remat.startswith("chunk")
-    ):
-        # Two-level (sqrt) rematerialization: checkpoint only CHUNK
-        # boundaries; within a chunk the scan saves full residuals. The
-        # backward recomputes each chunk's forward ONCE (vs "step", which
-        # recomputes the whole fwd+bwd of EVERY inner step inside its
-        # transpose), for sqrt(total)-scaled memory instead of "none"'s
-        # full-unroll residency (which overflows the remote compiler at
-        # bench scale — so_remat_probe round 3). Classic Griewank
-        # checkpoint schedule, picked by measurement (so_chunk_probe).
-        if cfg.so_remat == "sqrt":
-            chunk = max(1, int(total_steps**0.5))
-        else:
-            chunk = int(cfg.so_remat.split(":", 1)[1])
-        if total_steps % chunk:
-            # Fall back to the nearest divisor so the scan stays static.
-            divs = [d for d in range(1, total_steps + 1) if total_steps % d == 0]
-            chunk = min(divs, key=lambda d: abs(d - chunk))
-        n_chunks = total_steps // chunk
-
-        def chunk_fn(p, ss):
-            p2, _ = jax.lax.scan(inner_step, p, ss)
-            return p2, None
-
-        adapted, _ = jax.lax.scan(
-            jax.checkpoint(chunk_fn),
-            params,
-            jnp.arange(total_steps).reshape(n_chunks, chunk),
-        )
-    else:
-        if cfg.second_order:
-            if cfg.so_remat == "none":
-                step_fn = inner_step  # scan saves full residuals (needs HBM)
-            elif cfg.so_remat == "dots":
-                step_fn = jax.checkpoint(
-                    inner_step,
-                    policy=(
-                        jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                    ),
-                )
-            elif cfg.so_remat == "step":  # recompute everything per inner step
-                step_fn = jax.checkpoint(inner_step)
-            else:
-                raise ValueError(
-                    f"meta.so_remat={cfg.so_remat!r}: expected 'step', "
-                    "'dots', 'none', 'sqrt', or 'chunk:<k>'"
-                )
-        else:
-            step_fn = inner_step
-        adapted, _ = jax.lax.scan(
-            step_fn, params, jnp.arange(total_steps),
-            unroll=max(1, min(cfg.inner_unroll, total_steps)),
-        )
+    adapted = run_inner_scan(inner_step, params, total_steps, cfg)
 
     # Query evaluation — the reference keeps dropout active here
     # (adapted_model.train(), train_hybrid_maml_v5.py:159).
@@ -342,6 +352,9 @@ def make_meta_step(
         # every program, defeating sp). Pin the XLA routes, exactly like
         # second-order MAML does above; at multi-chip node counts XLA is
         # also the measured-fast path (benchmarks/scale_envelope.json).
+        # To keep the fused kernels (FO and SO/fhvp) on a sharded mesh use
+        # the manual-partitioning path instead:
+        # parallel.meta_sp.make_shardmap_meta_step_2d.
         model_cfg = dataclasses.replace(
             model_cfg, lstm_kernel="xla", use_pallas_gcn=False,
             use_pallas_lstm=False,

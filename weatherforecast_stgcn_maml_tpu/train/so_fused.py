@@ -124,20 +124,7 @@ def make_grad_loss_fused(model_cfg: ModelConfig, loss_xla, *,
                 h = jax.lax.stop_gradient(h)
             # h [W, N, hidden] is already the stack's [T, B, C] layout
             # (apply_hybrid swaps twice on the way to the kernel).
-            layers = q["lstm"]["layers"]
-            wcat0 = jnp.concatenate(
-                [layers[0]["wx"], layers[0]["wh"]], axis=0
-            )
-            if n_layers > 1:
-                wcatr = jnp.stack([
-                    jnp.concatenate(
-                        [layers[l]["wx"], layers[l]["wh"]], axis=0
-                    )
-                    for l in range(1, n_layers)
-                ])
-            else:
-                wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
-            b2d = jnp.stack([lstm_bias(layers[l]) for l in range(n_layers)])
+            wcat0, wcatr, b2d = _pack_lstm_weights(q, n_layers, hidden)
             return h, wcat0, wcatr, b2d
 
         def post(q, feat):
@@ -149,18 +136,124 @@ def make_grad_loss_fused(model_cfg: ModelConfig, loss_xla, *,
             preds = jnp.swapaxes(out, 0, 1)  # [H, N, 12]
             return masked_mse(preds, yb, node_mask)
 
-        (x_tbc, wcat0, wcatr, b2d), pre_vjp = jax.vjp(pre, p)
-        args = (x_tbc, wcat0, wcatr, b2d)
-        if masks is not None:
-            args = args + (masks,)
-        feat, h_all, c_all = fwd_op(*args)
-        loss, post_vjp = jax.vjp(post, p, feat)
-        dp_post, dfeat = post_vjp(jnp.ones_like(loss))
-        bargs = (dfeat, x_tbc, h_all, c_all, wcat0, wcatr, b2d)
-        if masks is not None:
-            bargs = bargs + (masks,)
-        dx, dw0, dwr, db = bwd_op(*bargs)
-        (dp_pre,) = pre_vjp((dx, dw0, dwr, db))
-        return jax.tree.map(jnp.add, dp_pre, dp_post)
+        return _vjp_sandwich(p, pre, post, fwd_op, bwd_op, masks)
+
+    return grad_loss
+
+
+def _vjp_sandwich(p, pre, post, fwd_op, bwd_op, masks):
+    """∇L as XLA vjp segments around the custom_jvp stack ops."""
+    (x_tbc, wcat0, wcatr, b2d), pre_vjp = jax.vjp(pre, p)
+    args = (x_tbc, wcat0, wcatr, b2d)
+    if masks is not None:
+        args = args + (masks,)
+    feat, h_all, c_all = fwd_op(*args)
+    loss, post_vjp = jax.vjp(post, p, feat)
+    dp_post, dfeat = post_vjp(jnp.ones_like(loss))
+    bargs = (dfeat, x_tbc, h_all, c_all, wcat0, wcatr, b2d)
+    if masks is not None:
+        bargs = bargs + (masks,)
+    dx, dw0, dwr, db = bwd_op(*bargs)
+    (dp_pre,) = pre_vjp((dx, dw0, dwr, db))
+    return jax.tree.map(jnp.add, dp_pre, dp_post)
+
+
+def _pack_lstm_weights(q, n_layers: int, hidden: int):
+    """Merged-gate weight packing shared by both compositions."""
+    layers = q["lstm"]["layers"]
+    wcat0 = jnp.concatenate([layers[0]["wx"], layers[0]["wh"]], axis=0)
+    if n_layers > 1:
+        wcatr = jnp.stack([
+            jnp.concatenate([layers[l]["wx"], layers[l]["wh"]], axis=0)
+            for l in range(1, n_layers)
+        ])
+    else:
+        wcatr = jnp.zeros((1, 2 * hidden, 4 * hidden), wcat0.dtype)
+    b2d = jnp.stack([lstm_bias(layers[l]) for l in range(n_layers)])
+    return wcat0, wcatr, b2d
+
+
+def make_local_grad_loss_fused(model_cfg: ModelConfig, sp_axis: str,
+                               loss_xla, *, interpret: bool = False):
+    """Node-sharded twin of `make_grad_loss_fused` for the shard_map path.
+
+    Builds grad_loss(p, aux, step_rng) == jax.grad of the node-LOCAL support
+    loss inside a shard_map body (parallel/meta_sp.py): `pre` mirrors
+    `parallel.spatial.hybrid_local_forward` (Koppen embed + all-gather GCN
+    encoder over the local rows, per-shard rng streams), the stack ops run
+    the R-operator kernels on the SHARD-LOCAL batch rows (which shrink back
+    under the VMEM gate — the sp axis's whole point), and `post` ends in the
+    psummed masked MSE.
+
+    The value is the per-shard PARTIAL gradient — the same object
+    `jax.grad(local_loss)` returns inside the body; the caller psums it over
+    sp (meta_sp.inner_step). jvp of this composition under shard_map pushes
+    each shard's incoming cotangent through the collectives' (linear) JVP
+    rules, which by symmetry of the joint Hessian over the per-shard param
+    copies is exactly the transpose the SO meta-gradient needs — see the
+    f64 parity tests in tests/test_parallel.py.
+    """
+    from weatherforecast_stgcn_maml_tpu.parallel.spatial import (
+        _spatial_encoder,
+        psum_masked_mse,
+    )
+
+    dtype = resolve_dtype(model_cfg.compute_dtype)
+
+    def grad_loss(p, aux, step_rng):
+        xb, yb, a_rows, koppen, node_mask = aux
+        w, n_local, _ = xb.shape
+        if not fused_hvp_route(model_cfg, w, n_local, interpret):
+            return jax.grad(loss_xla)(p, aux, step_rng)
+
+        n_layers = model_cfg.lstm_layers
+        hidden = model_cfg.lstm_hidden
+        rate = model_cfg.lstm_dropout
+        keep = 1.0 - rate
+        # Same per-shard stream as hybrid_local_forward: fold in the shard
+        # index, then the same 3-way split.
+        shard_rng = jax.random.fold_in(
+            step_rng, jax.lax.axis_index(sp_axis)
+        )
+        enc_rng, lstm_rng, head_rng = jax.random.split(shard_rng, 3)
+        masks = None
+        if rate > 0.0 and n_layers > 1:
+            masks = jnp.stack([
+                jax.random.bernoulli(
+                    jax.random.fold_in(lstm_rng, l), keep,
+                    (w, n_local, hidden),
+                )
+                for l in range(n_layers - 1)
+            ]).astype(jnp.int8)
+        fwd_op, bwd_op = hvp_stack_ops(
+            jnp.dtype(dtype).name,
+            bool(interpret or _fh._FORCE_INTERPRET),
+            float(keep) if masks is not None else 1.0,
+            masks is not None,
+        )
+
+        def pre(q):
+            emb = q["koppen"][koppen]
+            emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
+            h = jnp.concatenate([xb, emb.astype(xb.dtype)], axis=-1)
+            h = _spatial_encoder(
+                q["encoder"], a_rows, h, model_cfg, sp_axis, train=True,
+                rng=enc_rng,
+            )
+            if model_cfg.stop_base_gradients:
+                h = jax.lax.stop_gradient(h)
+            wcat0, wcatr, b2d = _pack_lstm_weights(q, n_layers, hidden)
+            return h, wcat0, wcatr, b2d
+
+        def post(q, feat):
+            feat = dropout(feat, rate, head_rng, train=True)
+            out = apply_dense(q["head"], feat, compute_dtype=dtype)
+            out = out.reshape(
+                n_local, model_cfg.horizon, model_cfg.num_weather_vars
+            )
+            preds = jnp.swapaxes(out, 0, 1)  # [H, N/d, 12]
+            return psum_masked_mse(preds, yb, node_mask, sp_axis)
+
+        return _vjp_sandwich(p, pre, post, fwd_op, bwd_op, masks)
 
     return grad_loss

@@ -344,3 +344,105 @@ def test_fhvp_fallback_off_tpu():
     ):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Wide-batch chunked routing (hvp_chunk_size + chunked_stack_ops)
+# ---------------------------------------------------------------------------
+
+
+def test_hvp_chunk_size_routing():
+    """Reference shapes: 512 nodes bf16 fits unchunked; wider batches get a
+    fitting divisor chunk (multiple of 8) instead of losing the fused
+    route; shapes with no fitting divisor >= min_chunk return None."""
+    assert fh.hvp_chunk_size(24, 512, 256, 128, 4, itemsize=2) == 512
+    for b in (1024, 2048, 4096, 8192):
+        c = fh.hvp_chunk_size(24, b, 256, 128, 4, itemsize=2)
+        assert c is not None and c < b and b % c == 0 and c % 8 == 0
+        assert fh.hvp_supported(24, c, 256, 128, 4, 2)
+    # f32 residual streams: 512 rows only fit chunked.
+    c32 = fh.hvp_chunk_size(24, 512, 256, 128, 4, itemsize=4)
+    assert c32 is not None and c32 < 512 and 512 % c32 == 0
+    assert fh.hvp_chunk_size(24, 512, 256, 128, 4, itemsize=4,
+                             min_chunk=512) is None
+
+
+def test_chunked_stack_ops_match_unchunked():
+    """Row-chunked wrappers must be value- AND tangent-identical to the
+    unchunked ops: rows are independent, masks slice per chunk, weight
+    grads sum across chunks."""
+    x, wcat0, wcatr, b2d, masks = _setup(4, True)
+    fwd_op, bwd_op = fh.hvp_stack_ops("float32", True, KEEP, True)
+    fwd_c, bwd_c = fh.chunked_stack_ops(fwd_op, bwd_op, B // 2, True)
+
+    prim = (x, wcat0, wcatr, b2d)
+    tans = _tangents(5, *prim)
+    out_ref, tan_ref = jax.jvp(
+        lambda *a: fwd_op(*a, masks), prim, tans
+    )
+    out_got, tan_got = jax.jvp(
+        lambda *a: fwd_c(*a, masks), prim, tans
+    )
+    for a, b in zip(jax.tree.leaves((out_ref, tan_ref)),
+                    jax.tree.leaves((out_got, tan_got))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    _, h_all, c_all = out_ref
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(B, H)).astype(np.float32)
+    )
+    bprim = (g, x, h_all, c_all, wcat0, wcatr, b2d)
+    btans = _tangents(7, *bprim)
+    bout_ref, btan_ref = jax.jvp(
+        lambda *a: bwd_op(*a, masks), bprim, btans
+    )
+    bout_got, btan_got = jax.jvp(
+        lambda *a: bwd_c(*a, masks), bprim, btans
+    )
+    for a, b in zip(jax.tree.leaves((bout_ref, btan_ref)),
+                    jax.tree.leaves((bout_got, btan_got))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_grad_loss_fused_chunked_matches_autodiff():
+    """The full fhvp composition with a forced row chunk — gradient AND
+    Hessian-vector product — must match plain autodiff (wide-batch SO
+    keeps the fused route instead of dropping to the XLA HVP)."""
+    task = _task()
+    params = init_model(jax.random.key(0), MODEL_CFG)
+    aux = _aux(task)
+    n = int(aux[0].shape[1])
+    assert n % 2 == 0
+    rng = jax.random.key(7)
+    loss = _loss(MODEL_CFG)
+
+    g_ref = jax.grad(loss)(params, aux, rng)
+    with fh.force_interpret():
+        g_got = make_grad_loss_fused(
+            MODEL_CFG, loss, chunk_override=n // 2
+        )(params, aux, rng)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+    ct = jax.tree.map(
+        lambda p: jnp.asarray(
+            np.random.default_rng(9).normal(size=p.shape), p.dtype
+        ),
+        params,
+    )
+    _, hv_ref = jax.jvp(
+        lambda q: jax.grad(loss)(q, aux, rng), (params,), (ct,)
+    )
+    with fh.force_interpret():
+        grad_loss = make_grad_loss_fused(
+            MODEL_CFG, loss, chunk_override=n // 2
+        )
+        _, hv_got = jax.jvp(
+            lambda q: grad_loss(q, aux, rng), (params,), (ct,)
+        )
+    for a, b in zip(jax.tree.leaves(hv_ref), jax.tree.leaves(hv_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

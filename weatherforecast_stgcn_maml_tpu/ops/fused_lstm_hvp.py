@@ -108,6 +108,102 @@ def hvp_supported(t: int, b: int, c_in: int, hidden: int, n_layers: int,
     return 2 * streamed + 2 * weights + accum + scratch <= _VMEM_BUDGET_BYTES
 
 
+def hvp_chunk_size(t: int, b: int, c_in: int, hidden: int, n_layers: int,
+                   itemsize: int = 4, min_chunk: int = 256) -> int | None:
+    """Largest batch-chunk size that fits the R-operator kernels' VMEM gate.
+
+    The HVP kernels stream twice the first-order stack's residuals (primal
+    + tangent views), so `hvp_supported` rejects reference-shape batches
+    beyond ~512 padded nodes (bf16) — which previously dropped every wider
+    second-order step back to the XLA HVP measured at ~30% MFU
+    (benchmarks/fhvp_decomp_probe.json: 6.96 vs 3.47 ms/iter fused). LSTM
+    batch rows are independent, so — exactly like the first-order
+    `stack_chunk_size` route (ops/fused_lstm_stack.py) — the R-kernels can
+    run in B/chunk sequential row slices instead.
+
+    Returns b itself when unchunked fits, the largest fitting divisor of b
+    that is a multiple of 8 and >= min_chunk otherwise, or None (route the
+    XLA HVP instead). All divisors are searched, not just halvings.
+    min_chunk defaults below the first-order stack's 512: the R-kernels run
+    9 dot units per (t, l) vs the backward's 3, so narrower rows still
+    carry enough MXU work per grid step to beat the XLA HVP.
+    """
+    if hvp_supported(t, b, c_in, hidden, n_layers, itemsize):
+        return b
+    divisors: list[int] = []
+    d = 1
+    while d * d <= b:
+        if b % d == 0:
+            divisors.extend((d, b // d))
+        d += 1
+    for bc in sorted(set(divisors), reverse=True):
+        if bc >= b or bc < min_chunk or bc % 8:
+            continue
+        if hvp_supported(t, bc, c_in, hidden, n_layers, itemsize):
+            return bc
+    return None
+
+
+def chunked_stack_ops(fwd_op, bwd_op, chunk: int, has_masks: bool):
+    """Row-chunked wrappers over the custom_jvp stack ops.
+
+    `fwd_op`/`bwd_op` are the `hvp_stack_ops` pair. The wrappers split the
+    batch (row) axis into B/chunk slices and run each slice through the
+    underlying op; rows are independent in an LSTM, so this is exact —
+    dx/h/c outputs concatenate back, weight/bias gradients sum across
+    chunks. Both wrappers are plain compositions of the custom_jvp ops
+    with `lax` slicing/concatenation, so `jax.jvp` of the sandwich pushes
+    tangents through them natively: each chunk call hits the ops'
+    R-operator JVP rules and the glue differentiates itself. The dropout
+    masks are drawn ONCE for the full batch by the caller and sliced per
+    chunk, keeping chunked numerics bit-identical to unchunked.
+    """
+
+    def fwd_c(*args):
+        x = args[0]
+        b = x.shape[1]
+        if b % chunk:
+            raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+        lasts, h_alls, c_alls = [], [], []
+        for i in range(b // chunk):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            a = (x[:, sl],) + tuple(args[1:4])
+            if has_masks:
+                a = a + (args[4][:, :, sl],)
+            h_last, h_all, c_all = fwd_op(*a)
+            lasts.append(h_last)
+            h_alls.append(h_all)
+            c_alls.append(c_all)
+        return (
+            jnp.concatenate(lasts, axis=0),
+            jnp.concatenate(h_alls, axis=2),
+            jnp.concatenate(c_alls, axis=2),
+        )
+
+    def bwd_c(*args):
+        g, x, h_all, c_all = args[:4]
+        wargs = tuple(args[4:7])
+        b = x.shape[1]
+        if b % chunk:
+            raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+        dxs = []
+        acc = None
+        for i in range(b // chunk):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            a = (g[sl], x[:, sl], h_all[:, :, sl], c_all[:, :, sl]) + wargs
+            if has_masks:
+                a = a + (args[7][:, :, sl],)
+            dx, dw0, dwr, db = bwd_op(*a)
+            dxs.append(dx)
+            if acc is None:
+                acc = (dw0, dwr, db)
+            else:
+                acc = (acc[0] + dw0, acc[1] + dwr, acc[2] + db)
+        return (jnp.concatenate(dxs, axis=1),) + acc
+
+    return fwd_c, bwd_c
+
+
 # ---------------------------------------------------------------------------
 # R{F}: tangent forward kernel
 # ---------------------------------------------------------------------------

@@ -46,44 +46,67 @@ from weatherforecast_stgcn_maml_tpu.models.losses import masked_mse
 from weatherforecast_stgcn_maml_tpu.models.stgcn import apply_encoder
 from weatherforecast_stgcn_maml_tpu.ops import fused_lstm_hvp as _fh
 from weatherforecast_stgcn_maml_tpu.ops.fused_lstm_hvp import (
+    chunked_stack_ops,
+    hvp_chunk_size,
     hvp_stack_ops,
-    hvp_supported,
 )
 
 
-def fused_hvp_route(model_cfg: ModelConfig, t: int, b: int,
-                    interpret: bool = False) -> bool:
-    """Static (trace-time) routing decision for the fused HVP."""
+def fused_hvp_chunk(model_cfg: ModelConfig, t: int, b: int,
+                    interpret: bool = False) -> int | None:
+    """Static (trace-time) routing decision for the fused HVP.
+
+    Returns the batch-chunk size the R-operator kernels should run at —
+    b itself when one kernel instance fits VMEM, a smaller row-chunk when
+    only slices fit (ops/fused_lstm_hvp.py:hvp_chunk_size; wide-batch
+    second-order keeps the fused route instead of dropping to the XLA
+    HVP), or None when the fused route is unavailable entirely
+    (non-hybrid family, float64, pinned XLA kernels, non-TPU backend, or
+    no fitting chunk).
+    """
     dtype = resolve_dtype(model_cfg.compute_dtype)
     if model_cfg.family != "hybrid" or dtype == jnp.float64:
-        return False
+        return None
     if model_cfg.lstm_kernel == "xla":
         # Caller pinned the XLA routes — e.g. the GSPMD sp-sharded meta
         # step (train/maml.py make_meta_step), where opaque kernels would
         # block the partitioner. fhvp degrades to jvp-of-XLA-grad there.
-        return False
+        return None
     if interpret or _fh._FORCE_INTERPRET:
-        return True
-    return jax.default_backend() == "tpu" and hvp_supported(
+        return b
+    if jax.default_backend() != "tpu":
+        return None
+    return hvp_chunk_size(
         t, b, model_cfg.hidden_channels, model_cfg.lstm_hidden,
         model_cfg.lstm_layers, itemsize=jnp.dtype(dtype).itemsize,
     )
 
 
+def fused_hvp_route(model_cfg: ModelConfig, t: int, b: int,
+                    interpret: bool = False) -> bool:
+    """True when the fused HVP engages at these shapes (chunked or not)."""
+    return fused_hvp_chunk(model_cfg, t, b, interpret) is not None
+
+
 def make_grad_loss_fused(model_cfg: ModelConfig, loss_xla, *,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         chunk_override: int | None = None):
     """Build grad_loss(p, aux, step_rng) == jax.grad(support_loss).
 
     `loss_xla` is the twice-differentiable XLA loss copy (the "hvp"/"rof"
     routes' loss_diff2) used as the fallback when the fused route is
-    unavailable at the traced shapes.
+    unavailable at the traced shapes. `chunk_override` forces a specific
+    row-chunk size through the R-kernels (tests/probes); by default the
+    chunk comes from `fused_hvp_chunk` (b itself when unchunked fits).
     """
     dtype = resolve_dtype(model_cfg.compute_dtype)
 
     def grad_loss(p, aux, step_rng):
         xb, yb, a_hat, koppen, node_mask = aux
         w, n, _ = xb.shape
-        if not fused_hvp_route(model_cfg, w, n, interpret):
+        chunk = (chunk_override if chunk_override is not None
+                 else fused_hvp_chunk(model_cfg, w, n, interpret))
+        if chunk is None:
             return jax.grad(loss_xla)(p, aux, step_rng)
 
         n_layers = model_cfg.lstm_layers
@@ -107,6 +130,10 @@ def make_grad_loss_fused(model_cfg: ModelConfig, loss_xla, *,
             float(keep) if masks is not None else 1.0,
             masks is not None,
         )
+        if chunk < n:
+            fwd_op, bwd_op = chunked_stack_ops(
+                fwd_op, bwd_op, chunk, masks is not None
+            )
 
         def pre(q):
             # Koppen embed + GCN encoder + merged-weight packing. The
@@ -174,7 +201,8 @@ def _pack_lstm_weights(q, n_layers: int, hidden: int):
 
 
 def make_local_grad_loss_fused(model_cfg: ModelConfig, sp_axis: str,
-                               loss_xla, *, interpret: bool = False):
+                               loss_xla, *, interpret: bool = False,
+                               chunk_override: int | None = None):
     """Node-sharded twin of `make_grad_loss_fused` for the shard_map path.
 
     Builds grad_loss(p, aux, step_rng) == jax.grad of the node-LOCAL support
@@ -203,7 +231,9 @@ def make_local_grad_loss_fused(model_cfg: ModelConfig, sp_axis: str,
     def grad_loss(p, aux, step_rng):
         xb, yb, a_rows, koppen, node_mask = aux
         w, n_local, _ = xb.shape
-        if not fused_hvp_route(model_cfg, w, n_local, interpret):
+        chunk = (chunk_override if chunk_override is not None
+                 else fused_hvp_chunk(model_cfg, w, n_local, interpret))
+        if chunk is None:
             return jax.grad(loss_xla)(p, aux, step_rng)
 
         n_layers = model_cfg.lstm_layers
@@ -231,6 +261,10 @@ def make_local_grad_loss_fused(model_cfg: ModelConfig, sp_axis: str,
             float(keep) if masks is not None else 1.0,
             masks is not None,
         )
+        if chunk < n_local:
+            fwd_op, bwd_op = chunked_stack_ops(
+                fwd_op, bwd_op, chunk, masks is not None
+            )
 
         def pre(q):
             emb = q["koppen"][koppen]

@@ -39,9 +39,10 @@ sys.path.insert(0, os.path.dirname(SELF_DIR))
 sys.path.insert(0, SELF_DIR)
 
 # (label, lon/lat box) -> padded node count at 0.25 deg: a w-degree box has
-# (4w+1)^2 nodes; 7 deg -> 841 -> 1024 padded, 11 deg -> 2025 -> 2048.
+# (4w+1)^2 nodes, padded to a multiple of 128; 7.5 deg -> 961 -> 1024,
+# 11 deg -> 2025 -> 2048.
 SIZES = {
-    1024: 7.0,
+    1024: 7.5,
     2048: 11.0,
 }
 

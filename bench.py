@@ -1117,15 +1117,22 @@ def main(argv=None) -> int:
     # full-scale record the docs cite, and a tiny-shape smoke test must
     # never clobber it (this happened once in round 3). Second-order runs
     # get their own file for the same reason.
+    # Output goes to the UNTRACKED benchmarks/out/ (VERDICT r4 weak 7: the
+    # driver's post-snapshot bench run must not dirty the committed tree).
+    # The committed benchmarks/last*_run.json files are explicit snapshots
+    # copied there by hand when a result is worth citing.
     if args.quick:
         artifact = "last_quick_run.json"
     elif args.second_order:
         artifact = "last_so_run.json"
     else:
         artifact = "last_run.json"
-    out_path = os.path.join(os.path.dirname(__file__), "benchmarks", artifact)
+    out_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "out")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, artifact)
     with open(out_path, "w") as f:
         json.dump(details, f, indent=2)
+    _log(f"[bench] details -> {out_path}")
 
     value = result["meta_steps_per_sec"]
     vs = value / baseline["meta_steps_per_sec"]

@@ -143,6 +143,18 @@ def main(rounds: int = 5) -> int:
 
             arms[key] = rep
 
+        # Numerics gate (ADVICE r4): the two SO implementations must agree
+        # at these widths BEFORE any timing — a routing/numerics regression
+        # aborts the probe instead of producing a silently-invalid A/B.
+        # bf16 compute + a grad-of-grad depth of rounding => 2e-2 relative.
+        fa, fb = first_loss[f"fhvp@{nodes}"], first_loss[f"hvp@{nodes}"]
+        rel = abs(fa - fb) / max(abs(fb), 1e-6)
+        if not rel <= 2e-2:
+            raise SystemExit(
+                f"[so-wide] SO impl divergence at {nodes} nodes: "
+                f"fhvp={fa:.6f} hvp={fb:.6f} (rel {rel:.3e} > 2e-2)"
+            )
+
     @jax.jit
     def floor_fn(c):
         return (c * 1.000001).astype(jnp.float32).sum()

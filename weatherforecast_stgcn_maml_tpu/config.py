@@ -381,9 +381,11 @@ class MeshConfig:
     spatial_axis: str = "sp"
     spatial_devices: int = 1  # >1 -> 2-D dp x sp mesh
     # 2-D meta-step implementation: "gspmd" (sharding constraints, XLA model
-    # routes — supports every family and second-order) or "shardmap"
+    # routes — supports every family; pins lstm_kernel="xla") or "shardmap"
     # (parallel/meta_sp.py: manual collectives with the fused Pallas kernels
-    # engaged per shard — hybrid family, first-order only).
+    # engaged per shard — hybrid family, first- AND second-order via the
+    # per-shard fused Hessian transpose; tests/test_parallel.py
+    # test_meta_shardmap_2d_second_order_f64).
     sp_impl: str = "gspmd"
 
 

@@ -172,7 +172,8 @@ def run_meta_training(
     if mesh is not None and sp_axis is not None:
         if cfg.mesh.sp_impl == "shardmap":
             # Manual-collective 2-D step: fused Pallas kernels engage per
-            # node shard (parallel/meta_sp.py). Hybrid + first-order only;
+            # node shard (parallel/meta_sp.py), first- and second-order
+            # (per-shard fused Hessian transpose). Hybrid family only;
             # misconfiguration raises loudly there.
             from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
                 make_shardmap_meta_step_2d,

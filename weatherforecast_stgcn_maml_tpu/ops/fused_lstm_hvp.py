@@ -156,7 +156,11 @@ def chunked_stack_ops(fwd_op, bwd_op, chunk: int, has_masks: bool):
     tangents through them natively: each chunk call hits the ops'
     R-operator JVP rules and the glue differentiates itself. The dropout
     masks are drawn ONCE for the full batch by the caller and sliced per
-    chunk, keeping chunked numerics bit-identical to unchunked.
+    chunk, so the RNG/dropout streams are bit-identical to unchunked;
+    weight/bias gradients, however, are summed across chunks in a
+    different f32 accumulation order than the single-kernel full-batch
+    contraction, so chunked vs unchunked results differ at float rounding
+    level (tests compare with rtol, not exact equality).
     """
 
     def fwd_c(*args):

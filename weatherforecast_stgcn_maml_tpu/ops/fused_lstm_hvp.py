@@ -401,7 +401,7 @@ def _hvpbwd_kernel_m(g_ref, tg_ref, x_ref, tx_ref,
                      dwcatr_ref, tdwcatr_ref, db_ref, tdb_ref,
                      dh_scr, dc_scr, tdh_scr, tdc_scr,
                      *, n_layers, hidden, c_in, has_masks, compute_dtype,
-                     t_len, keep=1.0):
+                     t_len, keep=1.0, ablate_tangent_vpu=False):
     s = pl.program_id(0)  # time index t_len-1-s via the index maps
     inv_keep = 1.0 / keep if has_masks else 1.0
 
@@ -471,13 +471,8 @@ def _hvpbwd_kernel_m(g_ref, tg_ref, x_ref, tx_ref,
         f = _sigmoid(gates[:, hidden:2 * hidden])
         g_ = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
         o = _sigmoid(gates[:, 3 * hidden:])
-        ti = i * (1.0 - i) * tgates[:, :hidden]
-        tf = f * (1.0 - f) * tgates[:, hidden:2 * hidden]
-        tg_ = (1.0 - g_ * g_) * tgates[:, 2 * hidden:3 * hidden]
-        to = o * (1.0 - o) * tgates[:, 3 * hidden:]
         tc_ = jnp.tanh(c_all_ref[l, 0].astype(jnp.float32))
         one_m_tc2 = 1.0 - tc_ * tc_
-        ttc = one_m_tc2 * tc_all_ref[l, 0].astype(jnp.float32)
 
         dh = dh_scr[l]
         tdh = tdh_scr[l]
@@ -488,33 +483,60 @@ def _hvpbwd_kernel_m(g_ref, tg_ref, x_ref, tx_ref,
             dh = dh + d_above
             tdh = tdh + td_above
         dc = dc_scr[l] + dh * o * one_m_tc2
-        tdc = (
-            tdc_scr[l]
-            + tdh * o * one_m_tc2
-            + dh * to * one_m_tc2
-            - dh * o * (2.0 * tc_ * ttc)
-        )
         so = o * (1.0 - o)
         do_pre = dh * tc_ * so
-        tdo_pre = tdh * tc_ * so + dh * ttc * so + dh * tc_ * (1.0 - 2.0 * o) * to
         si = i * (1.0 - i)
         di_pre = dc * g_ * si
-        tdi_pre = tdc * g_ * si + dc * tg_ * si + dc * g_ * (1.0 - 2.0 * i) * ti
         sf = f * (1.0 - f)
         df_pre = dc * c_prev * sf
-        tdf_pre = (
-            tdc * c_prev * sf + dc * tc_prev * sf
-            + dc * c_prev * (1.0 - 2.0 * f) * tf
-        )
         sg = 1.0 - g_ * g_
         dg_pre = dc * i * sg
-        tdg_pre = tdc * i * sg + dc * ti * sg - dc * i * (2.0 * g_ * tg_)
         dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
+        if ablate_tangent_vpu:
+            # PROBE-ONLY timing ablation (never routed by production code):
+            # every dot, stream, and accumulator identical to the real
+            # kernel — only the tangent ELEMENTWISE derivative chains are
+            # collapsed to single adds (keeping each dot's result live so
+            # Mosaic cannot dead-code it). Separates the R-bwd kernel's
+            # VPU-bound share from its MXU/dot-issue share
+            # (benchmarks/hvp_rate_probe.py; VERDICT r5 item 2).
+            tdc = tdc_scr[l] + tdh
+            tdi_pre = di_pre + tgates[:, :hidden]
+            tdf_pre = df_pre + tgates[:, hidden:2 * hidden]
+            tdg_pre = dg_pre + tgates[:, 2 * hidden:3 * hidden]
+            tdo_pre = do_pre + tgates[:, 3 * hidden:]
+            tdc_next = tdc * f
+        else:
+            ti = i * (1.0 - i) * tgates[:, :hidden]
+            tf = f * (1.0 - f) * tgates[:, hidden:2 * hidden]
+            tg_ = (1.0 - g_ * g_) * tgates[:, 2 * hidden:3 * hidden]
+            to = o * (1.0 - o) * tgates[:, 3 * hidden:]
+            ttc = one_m_tc2 * tc_all_ref[l, 0].astype(jnp.float32)
+            tdc = (
+                tdc_scr[l]
+                + tdh * o * one_m_tc2
+                + dh * to * one_m_tc2
+                - dh * o * (2.0 * tc_ * ttc)
+            )
+            tdo_pre = (
+                tdh * tc_ * so + dh * ttc * so
+                + dh * tc_ * (1.0 - 2.0 * o) * to
+            )
+            tdi_pre = (
+                tdc * g_ * si + dc * tg_ * si
+                + dc * g_ * (1.0 - 2.0 * i) * ti
+            )
+            tdf_pre = (
+                tdc * c_prev * sf + dc * tc_prev * sf
+                + dc * c_prev * (1.0 - 2.0 * f) * tf
+            )
+            tdg_pre = tdc * i * sg + dc * ti * sg - dc * i * (2.0 * g_ * tg_)
+            tdc_next = tdc * f + dc * tf
         tdgates = jnp.concatenate(
             [tdi_pre, tdf_pre, tdg_pre, tdo_pre], axis=-1
         )
         dc_scr[l] = dc * f
-        tdc_scr[l] = tdc * f + dc * tf
+        tdc_scr[l] = tdc_next
 
         dgc = dgates.astype(compute_dtype)
         tdgc = tdgates.astype(compute_dtype)
@@ -607,7 +629,8 @@ def _hvpbwd_kernel_m_nomask(g_ref, tg_ref, x_ref, tx_ref,
                             dx_ref, tdx_ref, dwcat0_ref, tdwcat0_ref,
                             dwcatr_ref, tdwcatr_ref, db_ref, tdb_ref,
                             dh_scr, dc_scr, tdh_scr, tdc_scr,
-                            *, n_layers, hidden, c_in, compute_dtype, t_len):
+                            *, n_layers, hidden, c_in, compute_dtype, t_len,
+                            ablate_tangent_vpu=False):
     _hvpbwd_kernel_m(
         g_ref, tg_ref, x_ref, tx_ref,
         h_all_ref, h_prev_ref, th_all_ref, th_prev_ref,
@@ -618,12 +641,14 @@ def _hvpbwd_kernel_m_nomask(g_ref, tg_ref, x_ref, tx_ref,
         dh_scr, dc_scr, tdh_scr, tdc_scr,
         n_layers=n_layers, hidden=hidden, c_in=c_in, has_masks=False,
         compute_dtype=compute_dtype, t_len=t_len,
+        ablate_tangent_vpu=ablate_tangent_vpu,
     )
 
 
 def _hvpbwd_pallas_m(g, tg, x, tx, h_all, th_all, c_all, tc_all,
                      wcat0, twcat0, wcatr, twcatr, b2d, tb2d, masks,
-                     compute_dtype, interpret, keep=1.0):
+                     compute_dtype, interpret, keep=1.0,
+                     ablate_tangent_vpu=False):
     t, b, c_in = x.shape
     n_layers, g4 = b2d.shape
     hidden = g4 // 4
@@ -669,11 +694,13 @@ def _hvpbwd_pallas_m(g, tg, x, tx, h_all, th_all, c_all, tc_all,
         functools.partial(
             _hvpbwd_kernel_m, n_layers=n_layers, hidden=hidden, c_in=c_in,
             has_masks=True, compute_dtype=compute_dtype, t_len=t, keep=keep,
+            ablate_tangent_vpu=ablate_tangent_vpu,
         )
         if has_masks
         else functools.partial(
             _hvpbwd_kernel_m_nomask, n_layers=n_layers, hidden=hidden,
             c_in=c_in, compute_dtype=compute_dtype, t_len=t,
+            ablate_tangent_vpu=ablate_tangent_vpu,
         )
     )
     args = [g, tg, x, tx, h_all, h_all, th_all, th_all, c_all, c_all,

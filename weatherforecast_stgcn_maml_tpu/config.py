@@ -385,8 +385,13 @@ class MeshConfig:
     # (parallel/meta_sp.py: manual collectives with the fused Pallas kernels
     # engaged per shard — hybrid family, first- AND second-order via the
     # per-shard fused Hessian transpose; tests/test_parallel.py
-    # test_meta_shardmap_2d_second_order_f64).
-    sp_impl: str = "gspmd"
+    # test_meta_shardmap_2d_second_order_f64). Default "auto" = shardmap
+    # for the hybrid family, gspmd otherwise (parallel/mesh.resolve_sp_impl):
+    # round 5 measured the shardmap glue at 2.3% over the unsharded fused
+    # step at a 1x1 mesh (289.6 vs 283.0 ms, shardmap_meta_probe.json,
+    # node-sharded fused GCN sandwich encoder) — far below the 2-4x the
+    # fused kernels buy, which GSPMD's lstm_kernel="xla" pin discards.
+    sp_impl: str = "auto"
 
 
 @dataclass(frozen=True)

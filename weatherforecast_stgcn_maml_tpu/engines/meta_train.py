@@ -169,8 +169,11 @@ def run_meta_training(
         and cfg.mesh.spatial_axis in mesh.axis_names
         else None
     )
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import resolve_sp_impl
+
+    sp_impl = resolve_sp_impl(cfg.mesh.sp_impl, model_cfg)
     if mesh is not None and sp_axis is not None:
-        if cfg.mesh.sp_impl == "shardmap":
+        if sp_impl == "shardmap":
             # Manual-collective 2-D step: fused Pallas kernels engage per
             # node shard (parallel/meta_sp.py), first- and second-order
             # (per-shard fused Hessian transpose). Hybrid family only;
@@ -183,7 +186,7 @@ def run_meta_training(
                 model_cfg, meta_cfg, mesh,
                 dp_axis=cfg.mesh.data_axis, sp_axis=sp_axis,
             )
-        elif cfg.mesh.sp_impl == "gspmd":
+        elif sp_impl == "gspmd":
             from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
                 make_parallel_meta_step_2d,
             )
@@ -194,8 +197,8 @@ def run_meta_training(
             )
         else:
             raise ValueError(
-                f"mesh.sp_impl={cfg.mesh.sp_impl!r}: expected 'gspmd' or "
-                "'shardmap'"
+                f"mesh.sp_impl={cfg.mesh.sp_impl!r}: expected 'auto', "
+                "'gspmd' or 'shardmap'"
             )
     elif mesh is not None:
         from weatherforecast_stgcn_maml_tpu.parallel.meta_dp import (
@@ -322,7 +325,7 @@ def run_meta_training(
         chained_step = make_jit_chained_meta_step(
             model_cfg, meta_cfg, mesh=mesh,
             axis=cfg.mesh.data_axis if mesh is not None else "dp",
-            sp_axis=sp_axis, sp_impl=cfg.mesh.sp_impl,
+            sp_axis=sp_axis, sp_impl=sp_impl,
         )
     base_key = make_key(meta_cfg.seed + 1, meta_cfg.rng_impl)
 

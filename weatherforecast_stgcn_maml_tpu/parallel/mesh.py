@@ -37,6 +37,24 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), axis_names=(cfg.data_axis,))
 
 
+def resolve_sp_impl(sp_impl: str, model_cfg) -> str:
+    """Resolve MeshConfig.sp_impl="auto" to a concrete 2-D step impl.
+
+    "auto" picks "shardmap" for the hybrid family — the manual-collective
+    path is the only one that keeps the fused Pallas kernels engaged per
+    node shard (GSPMD pins lstm_kernel="xla", parallel/meta_dp.py), worth
+    the measured 2-4x kernel speedups, and its residual glue cost is 2.3%
+    at a 1x1 mesh (benchmarks/shardmap_meta_probe.json, round 5: 289.6 vs
+    283.0 ms best — down from 20% in round 4 via the node-sharded fused
+    GCN sandwich encoder). Other families fall back to "gspmd", which
+    supports every registry model through sharding constraints.
+    """
+    if sp_impl != "auto":
+        return sp_impl
+    family = getattr(model_cfg, "family", "hybrid")
+    return "shardmap" if family == "hybrid" else "gspmd"
+
+
 def make_mesh_2d(
     dp: int,
     sp: int,

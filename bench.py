@@ -809,6 +809,65 @@ def kernel_parity(dtype: str) -> dict:
         for a_, b_ in zip(jax.tree.leaves(shg_ref[0]), jax.tree.leaves(shg_got[0]))
     )
 
+    # Second-order meta step THROUGH shard_map at shapes where the fused
+    # GCN sandwich route would engage. Regression trap for round 5's
+    # trace-time break: the sandwich is a first-order custom_vjp, and the
+    # fhvp composition (train/so_fused.make_local_grad_loss_fused) gets
+    # jax.jvp'd — its encoder must stay on the layerwise XLA route or
+    # tracing dies with "can't apply jvp to a custom_vjp function"
+    # (caught by shardmap_so_probe.py after commit d54361a; CPU tests
+    # cannot reach this path, the route is gated on the real backend).
+    # Small region (128 padded nodes), default channel dims so every
+    # fused route stays engaged; checked against the single-device SO
+    # step's per-task losses.
+    from weatherforecast_stgcn_maml_tpu.config import DataConfig, MetaConfig
+    from weatherforecast_stgcn_maml_tpu.data.synthetic import (
+        synthetic_region_for_box,
+    )
+    from weatherforecast_stgcn_maml_tpu.parallel.mesh import make_mesh_2d
+    from weatherforecast_stgcn_maml_tpu.parallel.meta_sp import (
+        make_shardmap_meta_step_2d,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.maml import (
+        init_meta_state,
+        make_jit_meta_step,
+    )
+    from weatherforecast_stgcn_maml_tpu.train.tasks import (
+        build_meta_tasks,
+        stack_tasks,
+    )
+    from weatherforecast_stgcn_maml_tpu.utils.prng import make_key
+
+    so_model = mc
+    so_meta = MetaConfig(
+        second_order=True, meta_batch=2, grad_accum=1,
+        inner_epochs=1, inner_batches=2,
+    )
+    so_regions = [
+        synthetic_region_for_box(
+            (10.0 + i, 10.75 + i, 20.0, 20.75), num_timesteps=64, seed=i
+        )
+        for i in range(2)
+    ]
+    so_built = build_meta_tasks(so_regions, so_model, so_meta, DataConfig())
+    so_tasks = jax.device_put(stack_tasks([b.task for b in so_built]))
+    so_key = make_key(11, so_meta.rng_impl)
+    # make_jit_meta_step donates its state: init a second identical state
+    # for the shardmap arm (same seed -> same values) instead of aliasing
+    # device buffers into the donated call.
+    so_state = init_meta_state(jax.random.key(4), so_model, so_meta)
+    _, so_m1 = make_jit_meta_step(so_model, so_meta)(
+        init_meta_state(jax.random.key(4), so_model, so_meta),
+        so_tasks, so_key,
+    )
+    so_shmap = make_shardmap_meta_step_2d(
+        so_model, so_meta, make_mesh_2d(1, 1), donate_state=False
+    )
+    _, so_m2 = so_shmap(so_state, so_tasks, so_key)
+    checks["so_shardmap_step"] = rel_err(
+        so_m2["per_task_loss"], so_m1["per_task_loss"]
+    )
+
     # Fused whole-tree clip+SGD update (ops/fused_sgd.py) vs the XLA tree
     # ops — unbatched and vmapped (per-instance norms), clip active.
     from weatherforecast_stgcn_maml_tpu.ops import fused_sgd

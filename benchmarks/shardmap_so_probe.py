@@ -14,6 +14,13 @@ under manual axes + the per-shard axis_index rng plumbing are real):
      single-device SO step (both so_impl="fhvp");
   3. interleaved step timing: single SO vs shard_map SO.
 
+`--nodes {1024,2048,4096}` composes the three round-4/5 axes at once
+(VERDICT r4 item 8): wide regions (so_wide_probe.py's box widths,
+meta_batch=2/no-accum like that probe), second order, shard_map 1x1 —
+asserting the batch-CHUNKED R-operator routing (train/so_fused.py
+fused_hvp_chunk) stays engaged per shard before timing. Wide runs write
+benchmarks/shardmap_so_wide_probe.json.
+
 Output: benchmarks/shardmap_so_probe.json.
 Run: cd /root/repo && python benchmarks/shardmap_so_probe.py
 """
@@ -31,7 +38,23 @@ sys.path.insert(0, os.path.dirname(SELF_DIR))
 sys.path.insert(0, SELF_DIR)
 
 
-def main(rounds: int = 6) -> int:
+# Padded node count -> lon/lat box width in degrees (so_wide_probe.py:41).
+WIDE_SIZES = {1024: 7.5, 2048: 11.0, 4096: 15.75}
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument(
+        "--nodes", type=int, default=0, choices=[0, *WIDE_SIZES],
+        help="0 = reference-scale 512-node default; otherwise compose the "
+        "wide-batch chunked-HVP routing with the shard_map SO step",
+    )
+    args = ap.parse_args(argv)
+    rounds = args.rounds
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -68,9 +91,20 @@ def main(rounds: int = 6) -> int:
 
     import dataclasses
 
+    from weatherforecast_stgcn_maml_tpu.train.so_fused import fused_hvp_chunk
+
     model_cfg = ModelConfig(compute_dtype="bfloat16")
-    meta_cfg = MetaConfig(second_order=True)  # so_impl default = "fhvp"
-    boxes = [(10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0) for i in range(4)]
+    if args.nodes:
+        # Wide composed mode: so_wide_probe's region geometry + task shape.
+        w = WIDE_SIZES[args.nodes]
+        meta_cfg = MetaConfig(meta_batch=2, grad_accum=1, second_order=True)
+        boxes = [
+            (10.0 + (w + 2) * i, 10.0 + (w + 2) * i + w, 20.0, 20.0 + w)
+            for i in range(2)
+        ]
+    else:
+        meta_cfg = MetaConfig(second_order=True)  # so_impl default = "fhvp"
+        boxes = [(10.0 + 6 * i, 15.0 + 6 * i, 20.0, 25.0) for i in range(4)]
     regions = [
         synthetic_region_for_box(b, num_timesteps=160, seed=i)
         for i, b in enumerate(boxes)
@@ -79,11 +113,24 @@ def main(rounds: int = 6) -> int:
     tasks = stack_tasks([b.task for b in built])
     tasks = jax.tree.map(jnp.asarray, tasks)  # device-staged (repo rule)
 
+    n_pad = int(tasks.a_hat.shape[-1])
     report: dict = {
         "backend": jax.default_backend(),
-        "nodes": int(tasks.a_hat.shape[-1]),
+        "nodes": n_pad,
         "so_impl": meta_cfg.so_impl,
     }
+    if args.nodes:
+        assert n_pad == args.nodes, (n_pad, args.nodes)
+        # The whole point of the composed probe: the per-shard batch (all
+        # n_pad rows at sp=1) must route through the batch-CHUNKED
+        # R-operator kernels, not silently fall back to the XLA HVP.
+        chunk = fused_hvp_chunk(model_cfg, model_cfg.window, n_pad)
+        assert chunk is not None and chunk < n_pad, (
+            f"chunked fused HVP not engaged at {n_pad} nodes (chunk={chunk})"
+        )
+        report["hvp_chunk"] = int(chunk)
+        print(f"[shardmap-so] wide mode: {n_pad} nodes, hvp_chunk={chunk}",
+              file=sys.stderr)
     key = make_key(7, meta_cfg.rng_impl)
     mesh = make_mesh_2d(1, 1)
 
@@ -189,7 +236,11 @@ def main(rounds: int = 6) -> int:
         print(f"[shardmap-so] {k}: best {timed[k]['best_ms']:.1f} ms "
               f"median {timed[k]['median_ms']:.1f} ms", file=sys.stderr)
 
-    with open(os.path.join(SELF_DIR, "shardmap_so_probe.json"), "w") as f:
+    out_name = (
+        "shardmap_so_wide_probe.json" if args.nodes
+        else "shardmap_so_probe.json"
+    )
+    with open(os.path.join(SELF_DIR, out_name), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "raw"}))
     return 0

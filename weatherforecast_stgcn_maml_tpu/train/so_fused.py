@@ -32,6 +32,8 @@ in requirements.txt:11).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -266,12 +268,22 @@ def make_local_grad_loss_fused(model_cfg: ModelConfig, sp_axis: str,
                 fwd_op, bwd_op, chunk, masks is not None
             )
 
+        # The encoder inside this composition must run the layerwise XLA
+        # route: the node-sharded fused GCN sandwich is a first-order
+        # custom_vjp (no JVP rule), and the whole grad_loss gets jax.jvp'd
+        # by the fhvp Hessian transpose. Same pattern as the single-device
+        # composition's use_pallas=False; mask streams are identical
+        # across routes (bench.py gcn_shard parity), so the gradient is
+        # the fused loss's gradient to compute-dtype rounding, and the
+        # encoder's HVP share is small (so_decomp_probe.json).
+        enc_cfg = dataclasses.replace(model_cfg, use_pallas_gcn=False)
+
         def pre(q):
             emb = q["koppen"][koppen]
             emb = jnp.broadcast_to(emb, (w, n_local, emb.shape[-1]))
             h = jnp.concatenate([xb, emb.astype(xb.dtype)], axis=-1)
             h = _spatial_encoder(
-                q["encoder"], a_rows, h, model_cfg, sp_axis, train=True,
+                q["encoder"], a_rows, h, enc_cfg, sp_axis, train=True,
                 rng=enc_rng,
             )
             if model_cfg.stop_base_gradients:
